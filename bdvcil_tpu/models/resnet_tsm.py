@@ -1,0 +1,164 @@
+"""ResNet-TSM backbone in Flax (channels-last, MXU-friendly).
+
+TPU-native rebuild of mmaction2's ``ResNetTSM`` (SURVEY.md §2.4): a torchvision
+-style ResNet-18/34/50 where every residual block applies the temporal
+channel shift to its input before conv1 (mmaction2 ``shift_place='blockres'``
+with n_round=1). Instead of forward hooks, ``__call__`` returns a dict of
+tagged stage outputs ('layer1'..'layer4') which the CIL runtime uses for the
+feature-distillation taps (reference kd_modules_names, config :85).
+
+Layout: activations are NHWC with the time axis flattened into the batch,
+``(N*num_segments, H, W, C)`` — convolutions stay large and batched on the
+MXU and the shift is a cheap slice/concat that XLA fuses.
+
+Mixed precision: ``dtype`` controls the compute/activation dtype (bfloat16
+recommended on TPU); parameters and batch-norm statistics stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.tsm_shift import temporal_shift
+
+# depth -> (block type, stage sizes, expansion)
+ARCH = {
+    18: ("basic", (2, 2, 2, 2), 1),
+    34: ("basic", (3, 4, 6, 3), 1),
+    50: ("bottleneck", (3, 4, 6, 3), 4),
+    101: ("bottleneck", (3, 4, 23, 3), 4),
+}
+
+
+class _BasicBlock(nn.Module):
+    planes: int
+    stride: int
+    num_segments: int
+    shift_div: int
+    is_shift: bool
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        identity = x
+        h = x
+        if self.is_shift:
+            h = temporal_shift(h, self.num_segments, self.shift_div)
+        h = nn.Conv(
+            self.planes, (3, 3), strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv1",
+        )(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=jnp.float32, name="bn1")(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name="conv2")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=jnp.float32, name="bn2")(h)
+
+        if self.stride != 1 or identity.shape[-1] != self.planes:
+            identity = nn.Conv(
+                self.planes, (1, 1), strides=(self.stride, self.stride), use_bias=False,
+                dtype=self.dtype, name="downsample_conv",
+            )(identity)
+            identity = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32, name="downsample_bn",
+            )(identity)
+        return nn.relu(h + identity.astype(h.dtype))
+
+
+class _Bottleneck(nn.Module):
+    planes: int
+    stride: int
+    num_segments: int
+    shift_div: int
+    is_shift: bool
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        identity = x
+        out_planes = self.planes * 4
+        h = x
+        if self.is_shift:
+            h = temporal_shift(h, self.num_segments, self.shift_div)
+        h = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=jnp.float32, name="bn1")(h)
+        h = nn.relu(h)
+        # stride on the 3x3 (torch / mmaction2 'pytorch' style)
+        h = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                    padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv2")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=jnp.float32, name="bn2")(h)
+        h = nn.relu(h)
+        h = nn.Conv(out_planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=jnp.float32, name="bn3")(h)
+
+        if self.stride != 1 or identity.shape[-1] != out_planes:
+            identity = nn.Conv(
+                out_planes, (1, 1), strides=(self.stride, self.stride), use_bias=False,
+                dtype=self.dtype, name="downsample_conv",
+            )(identity)
+            identity = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32, name="downsample_bn",
+            )(identity)
+        return nn.relu(h + identity.astype(h.dtype))
+
+
+class ResNetTSM(nn.Module):
+    depth: int = 50
+    num_segments: int = 8
+    shift_div: int = 8
+    is_shift: bool = True
+    norm_eval: bool = False
+    dtype: Any = jnp.float32
+    pretrained: Optional[str] = None  # recorded for config parity; loading is
+    # done offline via models.pretrained.load_torch_resnet_backbone
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> Dict[str, jax.Array]:
+        """x: (N*T, H, W, C) normalized frames; returns tagged stage outputs."""
+        block_kind, stage_sizes, expansion = ARCH[self.depth]
+        block_cls = _BasicBlock if block_kind == "basic" else _Bottleneck
+        bn_train = train and not self.norm_eval
+
+        h = x.astype(self.dtype)
+        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, name="conv1")(h)
+        h = nn.BatchNorm(use_running_average=not bn_train, momentum=0.9, epsilon=1e-5,
+                         dtype=jnp.float32, name="bn1")(h)
+        h = nn.relu(h)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        feats: Dict[str, jax.Array] = {}
+        planes = 64
+        for stage_idx, num_blocks in enumerate(stage_sizes):
+            for block_idx in range(num_blocks):
+                stride = 2 if (stage_idx > 0 and block_idx == 0) else 1
+                h = block_cls(
+                    planes=planes,
+                    stride=stride,
+                    num_segments=self.num_segments,
+                    shift_div=self.shift_div,
+                    is_shift=self.is_shift,
+                    dtype=self.dtype,
+                    name=f"layer{stage_idx + 1}_{block_idx}",
+                )(h, bn_train)
+            feats[f"layer{stage_idx + 1}"] = h
+            planes *= 2
+
+        feats["out"] = h
+        return feats
+
+    @property
+    def out_channels(self) -> int:
+        _, _, expansion = ARCH[self.depth]
+        return 512 * expansion

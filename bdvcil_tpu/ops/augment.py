@@ -1,0 +1,116 @@
+"""Fused on-device augmentation ops.
+
+The reference does all of this per-sample on CPU dataloader workers
+(SURVEY.md §3.3 hot loop); here the batched versions run under jit on the
+TPU so the VPU does the elementwise math and host workers only decode JPEGs.
+
+  * ``normalize_batch``   — uint8 -> normalized float in one fused expression
+  * ``background_blend``  — the headline BGMix blend, imgs*(1-a) + bg*a
+                            (reference comix_loader.py:138-145)
+  * ``tubemix``           — tube-CutMix across the batch with area-based label
+                            mixing (reference icarl_video_mix.py:48-81)
+  * ``temporal_median``   — temporal-median-filter background extraction on
+                            device (reference comix_loader.py:148-164)
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def normalize_batch(
+    imgs: jax.Array,
+    mean: Tuple[float, float, float] = (123.675, 116.28, 103.53),
+    std: Tuple[float, float, float] = (58.395, 57.12, 57.375),
+    dtype=jnp.float32,
+) -> jax.Array:
+    """(..., C) uint8/float -> normalized ``dtype``. Fused by XLA with the
+    consumer conv, so the uint8 batch is what crosses PCIe/ICI."""
+    mean_arr = jnp.asarray(mean, dtype=jnp.float32)
+    inv_std = 1.0 / jnp.asarray(std, dtype=jnp.float32)
+    return ((imgs.astype(jnp.float32) - mean_arr) * inv_std).astype(dtype)
+
+
+def background_blend(imgs: jax.Array, bg: jax.Array, alpha, apply_mask=None) -> jax.Array:
+    """Alpha-blend backgrounds over clips.
+
+    Args:
+      imgs: (B, M, H, W, C) normalized clip frames.
+      bg:   (B, H, W, C) normalized background image per sample (broadcast
+            over the M frame axis).
+      alpha: scalar or (B,) blend strength.
+      apply_mask: optional (B,) bool; samples with False pass through
+            (implements the per-sample probability / randAug mutex branchlessly).
+    """
+    alpha = jnp.asarray(alpha, dtype=imgs.dtype)
+    if alpha.ndim == 1:
+        alpha = alpha[:, None, None, None, None]
+    blended = imgs * (1.0 - alpha) + bg[:, None] * alpha
+    if apply_mask is None:
+        return blended
+    m = apply_mask.reshape(-1, 1, 1, 1, 1).astype(imgs.dtype)
+    return imgs * (1.0 - m) + blended * m
+
+
+def rand_bbox(key: jax.Array, height: int, width: int, lam: jax.Array):
+    """Random box with area ratio sqrt(1 - lam) per side
+    (reference icarl_video_mix.py:67-81). Returns (x1, y1, x2, y2)."""
+    cut_rat = jnp.sqrt(1.0 - lam)
+    cut_w = (width * cut_rat).astype(jnp.int32)
+    cut_h = (height * cut_rat).astype(jnp.int32)
+    kx, ky = jax.random.split(key)
+    cx = jax.random.randint(kx, (), 0, width)
+    cy = jax.random.randint(ky, (), 0, height)
+    x1 = jnp.clip(cx - cut_w // 2, 0, width)
+    y1 = jnp.clip(cy - cut_h // 2, 0, height)
+    x2 = jnp.clip(cx + cut_w // 2, 0, width)
+    y2 = jnp.clip(cy + cut_h // 2, 0, height)
+    return x1, y1, x2, y2
+
+
+def tubemix(
+    key: jax.Array,
+    imgs: jax.Array,
+    targets: jax.Array,
+    alpha: float,
+    prob: float,
+):
+    """Tube-CutMix: swap one spatial box across the batch for all frames and
+    mix one-hot targets by the true box area (reference icarl_video_mix.py:48-64).
+
+    Args:
+      imgs: (B, M, H, W, C); targets: (B, num_classes) one-hot/soft.
+    Returns (mixed_imgs, mixed_targets); identity when the prob draw fails.
+    """
+    b, m, h, w, c = imgs.shape
+    k_apply, k_perm, k_beta, k_box = jax.random.split(key, 4)
+
+    apply = jax.random.uniform(k_apply) > 1.0 - prob
+    perm = jax.random.permutation(k_perm, b)
+    lam0 = jax.random.beta(k_beta, alpha, alpha)
+    x1, y1, x2, y2 = rand_bbox(k_box, h, w, lam0)
+
+    ys = jnp.arange(h)[None, None, :, None, None]
+    xs = jnp.arange(w)[None, None, None, :, None]
+    in_box = ((ys >= y1) & (ys < y2) & (xs >= x1) & (xs < x2)).astype(imgs.dtype)
+
+    mixed = imgs * (1.0 - in_box) + imgs[perm] * in_box
+    # true area after clipping (reference recomputes lam from the box)
+    lam = 1.0 - ((x2 - x1) * (y2 - y1)).astype(targets.dtype) / (h * w)
+    mixed_targets = targets * lam + targets[perm] * (1.0 - lam)
+
+    imgs_out = jnp.where(apply, mixed, imgs)
+    targets_out = jnp.where(apply, mixed_targets, targets)
+    return imgs_out, targets_out
+
+
+def temporal_median(frames: jax.Array) -> jax.Array:
+    """Median over the frame axis: (T, H, W, C) -> (H, W, C) uint8.
+
+    Device-side equivalent of ``bg_extraction_tmf`` (comix_loader.py:148-164).
+    """
+    median = jnp.median(frames.astype(jnp.float32), axis=0)
+    return jnp.clip(jnp.round(median), 0, 255).astype(jnp.uint8)

@@ -1,0 +1,131 @@
+"""Temporal Shift Module (TSM) channel shift.
+
+TPU-native replacement for mmaction2's ``TemporalShift`` wrapper (SURVEY.md
+§2.4 "TSM backbone"): given features of ``num_segments`` frames, the first
+C/shift_div channels are shifted one frame into the past, the next
+C/shift_div one frame into the future, the rest pass through; boundary frames
+are zero-filled.
+
+Two implementations:
+  * ``temporal_shift`` — pure XLA (slice + pad). XLA fuses this into adjacent
+    ops; it is the default and is differentiable for free.
+  * ``temporal_shift_pallas`` — a Pallas VMEM kernel with a custom VJP
+    (the backward of a shift is the opposite shift). Useful as a fusion
+    anchor when XLA's layout choices regress; validated against the XLA
+    path in tests.
+
+Layout: channels-last ``(N*T, H, W, C)`` with static ``num_segments=T``,
+matching the backbone's activation layout so no transposes are introduced.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def temporal_shift(x: jax.Array, num_segments: int, shift_div: int = 8) -> jax.Array:
+    """Shift channels across time.
+
+    Args:
+      x: (N*T, H, W, C) activations, T == num_segments.
+      num_segments: frames per video in the flattened batch.
+      shift_div: fraction of channels to shift each direction (C // shift_div).
+
+    Returns:
+      (N*T, H, W, C) with the first fold shifted backward in time (frame t
+      sees frame t+1), the second fold forward (frame t sees frame t-1).
+    """
+    nt, h, w, c = x.shape
+    n = nt // num_segments
+    fold = c // shift_div
+    xt = x.reshape(n, num_segments, h, w, c)
+
+    # left shift: out[:, t] = x[:, t + 1], zero at the last frame
+    left = jnp.concatenate(
+        [xt[:, 1:, :, :, :fold], jnp.zeros_like(xt[:, :1, :, :, :fold])], axis=1
+    )
+    # right shift: out[:, t] = x[:, t - 1], zero at the first frame
+    right = jnp.concatenate(
+        [jnp.zeros_like(xt[:, :1, :, :, fold : 2 * fold]), xt[:, :-1, :, :, fold : 2 * fold]],
+        axis=1,
+    )
+    out = jnp.concatenate([left, right, xt[:, :, :, :, 2 * fold :]], axis=-1)
+    return out.reshape(nt, h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel variant
+# ---------------------------------------------------------------------------
+
+
+def _shift_kernel(x_ref, out_ref, *, num_segments: int, fold: int):
+    """Grid dim 0 = video index; block = (T, H*W, C) of one video in VMEM."""
+    x = x_ref[...]  # (T, HW, C)
+    t = x.shape[0]
+    c = x.shape[-1]
+
+    zeros_one = jnp.zeros((1,) + x.shape[1:-1] + (fold,), x.dtype)
+    left = jnp.concatenate([x[1:, :, :fold], zeros_one], axis=0)
+    right = jnp.concatenate([zeros_one, x[:-1, :, fold : 2 * fold]], axis=0)
+    out_ref[...] = jnp.concatenate([left, right, x[:, :, 2 * fold :]], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def temporal_shift_pallas(x: jax.Array, num_segments: int, shift_div: int = 8) -> jax.Array:
+    return _temporal_shift_pallas_impl(x, num_segments, shift_div, reverse=False)
+
+
+def _temporal_shift_pallas_impl(
+    x: jax.Array, num_segments: int, shift_div: int, reverse: bool
+) -> jax.Array:
+    nt, h, w, c = x.shape
+    n = nt // num_segments
+    fold = c // shift_div
+    x3 = x.reshape(n, num_segments, h * w, c)
+
+    if reverse:
+        # backward of the shift: gradients flow the opposite direction,
+        # implemented by swapping which fold shifts which way
+        def kernel(x_ref, out_ref):
+            xv = x_ref[...]
+            zeros_one = jnp.zeros((1,) + xv.shape[1:-1] + (fold,), xv.dtype)
+            # reverse of left shift is right shift and vice versa
+            left = jnp.concatenate([zeros_one, xv[:-1, :, :fold]], axis=0)
+            right = jnp.concatenate([xv[1:, :, fold : 2 * fold], zeros_one], axis=0)
+            out_ref[...] = jnp.concatenate([left, right, xv[:, :, 2 * fold :]], axis=-1)
+
+    else:
+        kernel = functools.partial(_shift_kernel, num_segments=num_segments, fold=fold)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, num_segments, h * w, c),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, num_segments, h * w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, num_segments, h * w, c), x.dtype),
+    )(x3)
+    return out.reshape(nt, h, w, c)
+
+
+def _shift_fwd(x, num_segments, shift_div):
+    return temporal_shift_pallas(x, num_segments, shift_div), None
+
+
+def _shift_bwd(num_segments, shift_div, _, g):
+    return (_temporal_shift_pallas_impl(g, num_segments, shift_div, reverse=True),)
+
+
+temporal_shift_pallas.defvjp(_shift_fwd, _shift_bwd)
