@@ -1,0 +1,187 @@
+"""Optimizer + LR schedule construction (optax).
+
+Rebuilds the reference optimizer policy as labeled optax transforms:
+``CILTSMOptimizerConstructorImprovised`` (libs/models/cil_heads/tsm.py:189-303)
+partitions parameters into groups
+
+  first_conv_weight : base lr,            weight decay
+  normal_weight     : base lr,            weight decay
+  normal_bias       : 2x lr,              no decay
+  bn                : base lr,            no decay
+  classifier_weight : fc_scale x lr,      weight decay   (LSC weights,
+                      IncrementalNet weight, LSCLoss eta — tsm.py:255-262)
+  classifier_bias   : 2*fc_scale x lr,    no decay       (IncrementalNet bias)
+
+SGD semantics match torch: grad += wd * w, buf = momentum * buf + grad,
+update = -lr(t) * buf. Schedules follow torch.optim.lr_scheduler stepped once
+per epoch (reference libs/utils.py:51-60; Lightning default interval='epoch').
+Gradient clipping (Lightning gradient_clip_val=1.0 for tasks>0, cil.py:743)
+and accumulation (accumulate_grad_batches) are applied in the same chain.
+"""
+
+from __future__ import annotations
+
+import bisect
+import math
+from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+CLASSIFIER_LEAVES = {"fc_weights", "fc_weight", "eta"}
+CLASSIFIER_BIAS_LEAVES = {"fc_bias"}
+
+
+def label_params(params: Mapping) -> Dict:
+    """Assign an optimizer-group label to every parameter leaf by path."""
+
+    def walk(tree, path):
+        out = {}
+        for key, value in tree.items():
+            p = path + (key,)
+            if isinstance(value, Mapping):
+                out[key] = walk(value, p)
+            else:
+                out[key] = _label_leaf(p)
+        return out
+
+    return walk(params, ())
+
+
+def _label_leaf(path: Tuple[str, ...]) -> str:
+    leaf = path[-1]
+    modules = path[:-1]
+    joined = "/".join(path)
+
+    if leaf in CLASSIFIER_LEAVES:
+        return "classifier_weight"
+    if leaf in CLASSIFIER_BIAS_LEAVES:
+        return "classifier_bias"
+    # batch norm: flax BatchNorm leaves are 'scale'/'bias' under bn modules
+    if any(m.startswith("bn") or m.endswith("_bn") or m == "norm" for m in modules):
+        return "bn"
+    if leaf == "scale":
+        return "bn"
+    if leaf == "bias":
+        return "normal_bias"
+    # the stem conv ('backbone/conv1/kernel') gets the first-conv group
+    if joined.endswith("backbone/conv1/kernel") or joined == "conv1/kernel":
+        return "first_conv_weight"
+    return "normal_weight"
+
+
+GROUP_POLICY = {
+    # label: (lr multiplier given fc_scale, use weight decay)
+    "first_conv_weight": (lambda s: 1.0, True),
+    "normal_weight": (lambda s: 1.0, True),
+    "normal_bias": (lambda s: 2.0, False),
+    "bn": (lambda s: 1.0, False),
+    "classifier_weight": (lambda s: s, True),
+    "classifier_bias": (lambda s: 2.0 * s, False),
+}
+
+
+# -- lr schedules (factor as a function of epoch) ---------------------------
+
+
+def build_lr_factor_fn(cfg: Optional[Mapping]) -> Callable[[int], float]:
+    """torch.optim.lr_scheduler factor semantics, keyed by epoch.
+
+    cfg: {'type': name, 'params': {...}} or falsy for constant lr
+    (reference libs/utils.py:51-60 name map).
+    """
+    if not cfg:
+        return lambda epoch: 1.0
+    kind = cfg["type"]
+    p = dict(cfg.get("params", {}))
+
+    if kind == "StepLR":
+        step_size, gamma = p["step_size"], p.get("gamma", 0.1)
+        return lambda e: gamma ** (e // step_size)
+    if kind == "MultiStepLR":
+        milestones = sorted(p["milestones"])
+        gamma = p.get("gamma", 0.1)
+        return lambda e: gamma ** bisect.bisect_right(milestones, e)
+    if kind == "LinearLR":
+        start = p.get("start_factor", 1.0 / 3)
+        end = p.get("end_factor", 1.0)
+        total = p.get("total_iters", 5)
+        return lambda e: start + (end - start) * min(e, total) / total
+    if kind == "ExponentialLR":
+        gamma = p["gamma"]
+        return lambda e: gamma**e
+    if kind == "CosineAnnealingLR":
+        t_max = p["T_max"]
+        eta_min_factor = p.get("eta_min_factor", 0.0)  # eta_min / base_lr
+        return lambda e: eta_min_factor + (1 - eta_min_factor) * (
+            1 + math.cos(math.pi * e / t_max)
+        ) / 2
+    raise KeyError(f"unknown lr scheduler {kind!r}")
+
+
+def build_optimizer(
+    params: Mapping,
+    optimizer_cfg: Mapping,
+    lr_scheduler_cfg: Optional[Mapping] = None,
+    steps_per_epoch: int = 1,
+    grad_clip: Optional[float] = None,
+    accumulate_steps: int = 1,
+) -> optax.GradientTransformation:
+    """Build the labeled SGD chain from a reference-shaped optimizer config:
+
+        optimizer = dict(type='SGD',
+                         constructor='CILTSMOptimizerConstructorImprovised',
+                         paramwise_cfg=dict(fc_lr_scale_factor=5.0),
+                         lr=0.01, momentum=0.9, weight_decay=0.0001)
+    """
+    assert optimizer_cfg.get("type", "SGD") == "SGD"
+    base_lr = optimizer_cfg["lr"]
+    momentum = optimizer_cfg.get("momentum", 0.0)
+    weight_decay = optimizer_cfg.get("weight_decay", 0.0)
+    paramwise = optimizer_cfg.get("paramwise_cfg", {}) or {}
+    fc_scale = paramwise.get("fc_lr_scale_factor", 1.0)
+    if "fc_lr5" in paramwise:  # legacy CILTSMOptimizerConstructor flag
+        fc_scale = 5.0 if paramwise["fc_lr5"] else 1.0
+
+    factor_fn = build_lr_factor_fn(lr_scheduler_cfg)
+    spe = max(1, steps_per_epoch)
+
+    def _sched(mult: float):
+        def schedule(step):
+            epoch = step // spe
+            # schedules are python-closured over ints; under jit `step` is
+            # traced, so compute the factor with jnp-safe ops for the common
+            # cases and fall back to a host-precomputed table otherwise
+            return -base_lr * mult * _factor_traced(epoch)
+
+        return schedule
+
+    # precompute a generous factor table so the schedule stays jit-friendly
+    MAX_EPOCHS = 4096
+    table = jnp.asarray([factor_fn(e) for e in range(MAX_EPOCHS)], jnp.float32)
+
+    def _factor_traced(epoch):
+        return table[jnp.clip(epoch, 0, MAX_EPOCHS - 1)]
+
+    transforms = {}
+    for label, (mult_fn, use_wd) in GROUP_POLICY.items():
+        chain = []
+        if use_wd and weight_decay:
+            chain.append(optax.add_decayed_weights(weight_decay))
+        if momentum:
+            chain.append(optax.trace(decay=momentum, nesterov=False))
+        chain.append(optax.scale_by_schedule(_sched(mult_fn(fc_scale))))
+        transforms[label] = optax.chain(*chain)
+
+    labels = label_params(params)
+    tx = optax.multi_transform(transforms, labels)
+
+    pre = []
+    if grad_clip is not None:
+        pre.append(optax.clip_by_global_norm(grad_clip))
+    tx = optax.chain(*pre, tx) if pre else tx
+
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    return tx
