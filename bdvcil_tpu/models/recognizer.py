@@ -49,6 +49,10 @@ class CILRecognizer2D(nn.Module):
           feats:     KD taps {'backbone.layer1'.., 'cls_head.avg_pool'}
         """
         b, m = imgs.shape[0], imgs.shape[1]
+        # accept either NHWC (TPU-native) or NCHW (reference FormatShape) —
+        # shapes are static so this branch resolves at trace time
+        if imgs.shape[-1] not in (1, 3) and imgs.shape[2] in (1, 3):
+            imgs = jnp.transpose(imgs, (0, 1, 3, 4, 2))
         x = imgs.reshape((b * m,) + imgs.shape[2:])
         feats = self.backbone(x, train=train)
         head_out = self.head(feats["out"], train=train)

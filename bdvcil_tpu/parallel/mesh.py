@@ -1,0 +1,68 @@
+"""Device mesh + sharding helpers.
+
+The reference scales with NCCL data parallelism via Lightning ddp_spawn
+(SURVEY.md §2.4 "Distributed / communication backend"); this framework's
+TPU-native equivalent is a 1-D ``jax.sharding.Mesh`` over the 'data' axis:
+batches are sharded on their leading dim, parameters/optimizer state are
+replicated, and the SPMD partitioner inserts the gradient all-reduce over ICI
+automatically inside the jitted train step. The model is a <25M-param CNN —
+pure DP is the whole parallelism story (SURVEY.md §5 long-context note), so
+there is deliberately no TP/PP machinery here.
+
+Works identically on a real TPU slice and on the CPU test mesh created with
+``--xla_force_host_platform_device_count=N``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis_name: str = "data") -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Leading-dim sharding for batches."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_to_multiple(array: np.ndarray, multiple: int, axis: int = 0):
+    """Pad ``axis`` up to a multiple; returns (padded, valid_count)."""
+    n = array.shape[axis]
+    target = ((n + multiple - 1) // multiple) * multiple
+    if target == n:
+        return array, n
+    pad_widths = [(0, 0)] * array.ndim
+    pad_widths[axis] = (0, target - n)
+    return np.pad(array, pad_widths, mode="edge"), n
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis_name: str = "data") -> Dict[str, Any]:
+    """device_put numeric fields with leading-dim sharding.
+
+    Batch sizes must be divisible by the mesh size; callers pad with
+    ``pad_to_multiple`` and carry a valid mask. Non-array fields pass through.
+    """
+    sharding = batch_sharding(mesh, axis_name)
+    out = {}
+    for key, value in batch.items():
+        if isinstance(value, np.ndarray) and value.dtype != object:
+            out[key] = jax.device_put(value, sharding)
+        else:
+            out[key] = value
+    return out
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.device_put(tree, replicated_sharding(mesh))

@@ -1,0 +1,132 @@
+"""Epoch loops: training and batched inference.
+
+Replaces ``pl.Trainer.fit`` / ``trainer.predict`` (reference cil.py:744-757,
+1092-1113). Inference keeps the dataset order (unshuffled) because the CIL
+accuracy segmentation slices results by per-task dataset sizes
+(cil.py:938-943); padded tail batches keep shapes static for jit and the
+padding is dropped on host.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..parallel.mesh import batch_sharding, shard_batch
+from ..utils import Throughput, get_logger
+
+logger = get_logger("bdvcil.runtime")
+
+
+def _extra_fields(batch: Dict[str, Any]) -> Dict[str, Any]:
+    return {
+        k: batch[k] for k in ("foreground_ratio", "background_label") if k in batch
+    }
+
+
+def train_epochs(
+    step_fn: Callable,
+    state,
+    prev_variables,
+    loader,
+    num_epochs: int,
+    rng_key: jax.Array,
+    mesh=None,
+    metric_logger=None,
+    log_every_n_steps: int = 10,
+    phase: str = "inc_step",
+    task_idx: int = 0,
+    epoch_hook: Optional[Callable] = None,
+):
+    """Run the jitted step over epochs. Returns (state, last_metrics).
+
+    ``epoch_hook(epoch, state)`` runs after every epoch (validation /
+    save-best lives there). Throughput is metered in clips/sec.
+    """
+    meter = Throughput(warmup=2)
+    step = 0
+    last_metrics: Dict[str, float] = {}
+    for epoch in range(num_epochs):
+        loader.set_epoch(epoch)
+        for batch in loader:
+            imgs = batch["imgs"]
+            labels = batch["label"]
+            extra = _extra_fields(batch)
+            if mesh is not None:
+                put = shard_batch({"imgs": imgs, "label": labels, **extra}, mesh)
+                imgs, labels = put["imgs"], put["label"]
+                extra = {k: put[k] for k in extra}
+            rng_key, step_key = jax.random.split(rng_key)
+            state, metrics = step_fn(state, prev_variables, imgs, labels, extra, step_key)
+            meter.tick(imgs.shape[0])
+            step += 1
+            if step % log_every_n_steps == 0:
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                payload = {
+                    f"[{phase}_Task_{task_idx}]{k}": v for k, v in last_metrics.items()
+                }
+                payload["clips_per_sec"] = meter.rate
+                if metric_logger is not None:
+                    metric_logger.log(payload, step=step)
+                logger.info(
+                    "task %d %s epoch %d step %d loss=%.4f kd=%.4f clips/s=%.1f",
+                    task_idx,
+                    phase,
+                    epoch,
+                    step,
+                    last_metrics.get("loss", float("nan")),
+                    last_metrics.get("kd_loss", 0.0),
+                    meter.rate,
+                )
+        if epoch_hook is not None:
+            epoch_hook(epoch, state)
+    return state, last_metrics
+
+
+def run_inference(
+    eval_step: Callable,
+    variables,
+    loader,
+    mesh=None,
+    extract_repr: bool = False,
+    pad_batch_to: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """Unshuffled forward over a dataset.
+
+    Returns host arrays in dataset order:
+      cls_score (N, G, nc) raw scores, labels (N,), repr (N, G, C) when
+      requested (already L2-normalized by the eval step).
+    """
+    scores: List[np.ndarray] = []
+    labels_out: List[np.ndarray] = []
+    reprs: List[np.ndarray] = []
+
+    for batch in loader:
+        imgs = np.asarray(batch["imgs"])
+        labels = np.asarray(batch["label"]).reshape(-1)
+        n_valid = imgs.shape[0]
+        target = pad_batch_to or n_valid
+        if mesh is not None:
+            m = mesh.devices.size
+            target = ((max(target, n_valid) + m - 1) // m) * m
+        if target != n_valid:
+            reps = [(0, target - n_valid)] + [(0, 0)] * (imgs.ndim - 1)
+            imgs = np.pad(imgs, reps, mode="edge")
+        if mesh is not None:
+            imgs = jax.device_put(imgs, batch_sharding(mesh))
+        out = eval_step(variables, imgs)
+        scores.append(np.asarray(out["cls_score"])[:n_valid])
+        labels_out.append(labels)
+        if extract_repr:
+            reprs.append(np.asarray(out["repr"])[:n_valid])
+
+    result = {
+        "cls_score": np.concatenate(scores, axis=0),
+        "labels": np.concatenate(labels_out, axis=0),
+    }
+    if extract_repr:
+        result["repr"] = np.concatenate(reprs, axis=0)
+    return result

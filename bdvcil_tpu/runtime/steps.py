@@ -1,0 +1,220 @@
+"""Jit-compiled train/eval steps.
+
+Replaces the Lightning training_step / predict_step stack (SURVEY.md §3.1-3.2)
+with pure functions compiled once per task (classifier width changes per task
+=> one retrace per task, by design):
+
+  * 'base'            — loss_cls (CE or LSC/NCA) + per-module feature-KD MSE
+                        between current (train mode) and previous (eval mode)
+                        model taps (reference BaseCIL.training_step,
+                        cil.py:512-556)
+  * 'icarl'           — CE on soft targets: one-hot for new classes, prev-model
+                        softmax for old-class samples; ActorCutMix lambda
+                        smoothing when the batch carries foreground_ratio
+                        (reference ICARLModel.training_step, icarl.py:97-130)
+  * 'icarl_video_mix' — tubemix batch augmentation then the iCaRL loss
+                        (reference icarl_video_mix.py:19-64)
+
+Data parallelism: batches arrive sharded over the mesh 'data' axis and state
+replicated; under jit the SPMD partitioner turns the batch reductions into
+ICI collectives (gradient all-reduce, cross-replica batch-norm statistics).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses import (
+    acm_smooth_targets,
+    cross_entropy,
+    feature_kd_loss,
+    lsc_nca_loss,
+    soft_target_ce,
+)
+from ..models.builder import ModelSpec
+from ..ops.augment import tubemix
+from .train_state import TrainState
+
+
+def _squeeze_labels(labels: jax.Array) -> jax.Array:
+    return labels.reshape(labels.shape[0]) if labels.ndim > 1 else labels
+
+
+def _loss_cls(spec: ModelSpec, cls_score: jax.Array, labels: jax.Array, params) -> jax.Array:
+    loss_cfg = spec.loss_cls
+    if loss_cfg.get("type") == "LSCLoss":
+        from ..models.heads import head_param_path
+
+        eta = head_param_path(params)["eta"]
+        return lsc_nca_loss(
+            cls_score,
+            labels,
+            eta,
+            margin=loss_cfg.get("margin", 0.6),
+            exclude_pos_denominator=loss_cfg.get("exclude_pos_denominator", True),
+            hinge_proxynca=loss_cfg.get("hinge_proxynca", True),
+        )
+    return cross_entropy(cls_score, labels)
+
+
+def make_train_step(
+    spec: ModelSpec,
+    tx,
+    num_classes: int,
+    method: str = "base",
+    task_idx: int = 0,
+    prev_num_classes: int = 0,
+    kd_config: Optional[Dict[str, Any]] = None,
+    video_mix: Optional[Dict[str, float]] = None,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted step for one task.
+
+    kd_config (method 'base', task>0): {'module_names', 'module_weights',
+    'scale_factor', 'exemplar_only'} (reference config keys kd_modules_names,
+    kd_weight_by_module, adaptive_scale_factors, kd_exemplar_only).
+
+    Returned step signature:
+        step(state, prev_variables, imgs, labels, extra, rng) -> (state, metrics)
+    where extra is a dict of optional arrays (foreground_ratio,
+    background_label) — pass {} when unused; prev_variables may be None
+    (ignored at task 0 / when KD is off).
+
+    Donation contract: ``state`` is donated to the XLA executable (halves
+    param HBM traffic). ``prev_variables`` must therefore NOT alias state
+    buffers — after the per-task ``prev <- current`` copy, materialize prev
+    with ``jax.tree.map(jnp.copy, ...)`` (the CIL trainer does this).
+    """
+    module = spec.module(num_classes)
+    use_kd = method == "base" and kd_config is not None and task_idx > 0
+    use_prev_targets = method in ("icarl", "icarl_video_mix") and task_idx > 0
+    needs_prev = use_kd or use_prev_targets
+    num_segments = spec.num_segments
+
+    def loss_fn(params, batch_stats, prev_variables, imgs, labels, extra, rng):
+        labels = _squeeze_labels(labels)
+        metrics: Dict[str, jax.Array] = {}
+
+        if method == "base":
+            out, mutated = module.apply(
+                {"params": params, "batch_stats": batch_stats},
+                imgs,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            cls_score = out["cls_score"][:, 0, :]
+            loss_cls = _loss_cls(spec, cls_score, labels, params)
+            metrics["loss_cls"] = loss_cls
+            total = loss_cls
+
+            if use_kd:
+                prev_out = module.apply(prev_variables, imgs, train=False)
+                kd = feature_kd_loss(
+                    out["feats"],
+                    prev_out["feats"],
+                    kd_config["module_names"],
+                    kd_config["module_weights"],
+                    kd_config["scale_factor"],
+                    labels=labels,
+                    prev_num_classes=prev_num_classes,
+                    exemplar_only=kd_config.get("exemplar_only", False),
+                    num_segments=num_segments,
+                )
+                metrics.update(kd)
+                total = total + kd["kd_loss"]
+            else:
+                metrics["kd_loss"] = jnp.zeros(())
+            return total, (mutated["batch_stats"], metrics)
+
+        # --- iCaRL family -------------------------------------------------
+        targets = jax.nn.one_hot(labels, num_classes)
+
+        if method == "icarl" and "foreground_ratio" in extra:
+            targets = acm_smooth_targets(
+                labels,
+                _squeeze_labels(extra["background_label"]),
+                extra["foreground_ratio"].astype(jnp.float32),
+                num_classes,
+                alpha=4.0,
+            )
+
+        if method == "icarl_video_mix":
+            mix_key, rng = jax.random.split(rng)
+            imgs, targets = tubemix(
+                mix_key, imgs, targets, video_mix["alpha"], video_mix["prob"]
+            )
+
+        out, mutated = module.apply(
+            {"params": params, "batch_stats": batch_stats},
+            imgs,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        # average_clips='score' in iCaRL (icarl.py:34): raw score mean
+        cls_score = out["cls_score"].mean(axis=1)
+
+        if use_prev_targets:
+            prev_out = module.apply(prev_variables, imgs, train=False)
+            prev_scores = jax.lax.stop_gradient(prev_out["cls_score"].mean(axis=1))
+            prev_probs = jax.nn.softmax(prev_scores, axis=-1)
+            is_old = (labels < prev_num_classes)[:, None]
+            targets = jnp.where(is_old, prev_probs, targets)
+
+        loss = soft_target_ce(cls_score, targets)
+        metrics["loss_cls"] = loss
+        metrics["kd_loss"] = jnp.zeros(())
+        return loss, (mutated["batch_stats"], metrics)
+
+    def train_step(state: TrainState, prev_variables, imgs, labels, extra, rng):
+        (loss, (new_batch_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, prev_variables, imgs, labels, extra, rng)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["loss"] = loss
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    if not needs_prev:
+        # avoid shipping an unused prev tree through jit
+        jitted = jax.jit(
+            lambda state, imgs, labels, extra, rng: train_step(
+                state, None, imgs, labels, extra, rng
+            ),
+            donate_argnums=donate_argnums,
+        )
+        return lambda state, prev_variables, imgs, labels, extra, rng: jitted(
+            state, imgs, labels, extra, rng
+        )
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(spec: ModelSpec, num_classes: int) -> Callable:
+    """Forward pass returning per-group scores and L2-normalized repr.
+
+    Matches predict_step (cil.py:558-578): cls_score (B, G, nc) raw scores;
+    repr (B, G, C) L2-normalized along the feature dim.
+    """
+    module = spec.module(num_classes)
+
+    @jax.jit
+    def eval_step(variables, imgs):
+        out = module.apply(variables, imgs, train=False)
+        repr_ = out["repr"]
+        repr_ = repr_ / jnp.maximum(jnp.linalg.norm(repr_, axis=-1, keepdims=True), 1e-12)
+        return {"cls_score": out["cls_score"], "repr": repr_}
+
+    return eval_step
