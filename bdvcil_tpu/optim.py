@@ -127,6 +127,7 @@ def build_optimizer(
     steps_per_epoch: int = 1,
     grad_clip: Optional[float] = None,
     accumulate_steps: int = 1,
+    freeze_backbone: bool = False,
 ) -> optax.GradientTransformation:
     """Build the labeled SGD chain from a reference-shaped optimizer config:
 
@@ -173,8 +174,14 @@ def build_optimizer(
             chain.append(optax.trace(decay=momentum, nesterov=False))
         chain.append(optax.scale_by_schedule(_sched(mult_fn(fc_scale))))
         transforms[label] = optax.chain(*chain)
+    # CBF backbone freeze = zero updates for backbone leaves (the TPU-native
+    # stand-in for requires_grad=False, reference base.py:36-42)
+    transforms["frozen"] = optax.set_to_zero()
 
     labels = label_params(params)
+    if freeze_backbone and "backbone" in labels:
+        labels = dict(labels)
+        labels["backbone"] = jax.tree.map(lambda _: "frozen", labels["backbone"])
     tx = optax.multi_transform(transforms, labels)
 
     pre = []

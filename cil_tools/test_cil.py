@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Full-protocol CIL evaluation (reference cil_tools/test_cil.py:29-42):
+load each per-task checkpoint, test on tasks [0..i], print the CNN and NME
+accuracy matrices and write cnn_result.txt / nme_result.txt."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bdvcil_tpu.config import Config
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Test a CIL run")
+    parser.add_argument("config", help="config file path")
+    parser.add_argument("--work_dir")
+    parser.add_argument("--testing_videos_per_gpu", type=int)
+    parser.add_argument("--testing_workers_per_gpu", type=int)
+    parser.add_argument("--no_nme", action="store_true", help="skip the NME classifier")
+    args = parser.parse_args()
+    cfg_dict = {
+        k: v
+        for k, v in vars(args).items()
+        if v is not None and k not in ("config", "no_nme")
+    }
+    return args, cfg_dict
+
+
+def main():
+    args, cfg_dict = parse_args()
+    config = Config.fromfile(args.config)
+    config.merge_from_dict(cfg_dict)
+    config.starting_task = 0
+
+    from bdvcil_tpu.cil import CILTrainer
+
+    trainer = CILTrainer(config, dump_config=False)
+    trainer.cil_testing(test_nme=not args.no_nme)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Main CIL training entry point.
+
+TPU-native equivalent of the reference cil_tools/train_cil.py:1-65: load a
+python config, apply CLI overrides via merge_from_dict, and run the per-task
+incremental loop on the device mesh.
+
+Usage:
+    python cil_tools/train_cil.py configs/ucf101/bgmix_plus_randAug/seed_1000_inc_10.py \
+        --work_dir work_dirs/exp --use_cbf --budget_size 5
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bdvcil_tpu.config import Config
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Train a CIL video recognizer")
+    parser.add_argument("config", help="train config file path")
+
+    parser.add_argument("--work_dir", help="the dir to save logs and models")
+    parser.add_argument("--videos_per_gpu", type=int)
+    parser.add_argument("--workers_per_gpu", type=int)
+    parser.add_argument("--accumulate_grad_batches", type=int)
+    parser.add_argument("--testing_videos_per_gpu", type=int)
+    parser.add_argument("--testing_workers_per_gpu", type=int)
+    parser.add_argument(
+        "--starting_task", default=0, type=int,
+        help="resume from task i; checkpoints/exemplars are reloaded from work_dir",
+    )
+    parser.add_argument("--ending_task", type=int, help="stop after this task")
+    parser.add_argument("--use_cbf", action="store_true", help="class-balanced fine-tuning")
+    parser.add_argument("--cbf_train_backbone", action="store_true")
+    parser.add_argument("--keep_all_backgrounds", action="store_true")
+    parser.add_argument("--cbf_full_bg", action="store_true")
+    parser.add_argument("--budget_size", type=int)
+    parser.add_argument("--alpha", default=0.5, type=float)
+    parser.add_argument("--num_epochs_per_task", type=int)
+    parser.add_argument("--cbf_num_epochs_per_task", type=int)
+    parser.add_argument("--kd_exemplar_only", action="store_true")
+    parser.add_argument("--log_every_n_steps", type=int, default=2)
+    parser.add_argument("--save_best", action="store_true", help="validate every epoch, keep best")
+    parser.add_argument("--seed", type=int)
+    parser.add_argument("--compute_dtype", choices=["float32", "bfloat16"])
+    args = parser.parse_args()
+
+    cfg_dict = {
+        k: v for k, v in vars(args).items() if v is not None and k != "config"
+    }
+    return args, cfg_dict
+
+
+def main():
+    args, cfg_dict = parse_args()
+    config = Config.fromfile(args.config)
+    config.merge_from_dict(cfg_dict)
+    if "train" in config.data and "alpha" in config.data.train:
+        config.data.train.alpha = config.alpha
+
+    from bdvcil_tpu.cil import CILTrainer
+
+    trainer = CILTrainer(config)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,193 @@
+"""End-to-end CIL integration on a synthetic rawframe tree: 3 tasks over the
+full 8-device CPU mesh, herding exemplars, per-task checkpoints, CNN+NME
+testing, resume, and full-protocol cil_testing."""
+
+import numpy as np
+import pytest
+
+from bdvcil_tpu.config import Config
+from bdvcil_tpu.cil import CILTrainer
+from tests.synthetic import make_rawframe_tree
+
+T = 4
+MEAN = [123.675, 116.28, 103.53]
+STD = [58.395, 57.12, 57.375]
+
+
+def make_cil_config(root, frames_root, train_ann, val_ann, work_dir, **overrides):
+    train_pipeline = [
+        dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=T),
+        dict(type="RawFrameDecode"),
+        dict(type="Resize", scale=(-1, 64)),
+        dict(type="RandAugment", n=2, m=10, prob=0.5),
+        dict(type="MultiScaleCrop", input_size=56, scales=(1, 0.875), random_crop=False,
+             max_wh_scale_gap=1, num_fixed_crops=13),
+        dict(type="Resize", scale=(56, 56), keep_ratio=False),
+        dict(type="Normalize", mean=MEAN, std=STD),
+        dict(type="FormatShape", input_format="NHWC"),
+        dict(type="Collect", keys=["imgs", "label", "randAug"], meta_keys=[]),
+        dict(type="ToTensor", keys=["imgs", "label"]),
+    ]
+    val_pipeline = [
+        dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=T, test_mode=True),
+        dict(type="RawFrameDecode"),
+        dict(type="Resize", scale=(-1, 64)),
+        dict(type="CenterCrop", crop_size=56),
+        dict(type="Normalize", mean=MEAN, std=STD),
+        dict(type="FormatShape", input_format="NHWC"),
+        dict(type="Collect", keys=["imgs", "label"], meta_keys=[]),
+        dict(type="ToTensor", keys=["imgs"]),
+    ]
+    bg_dir = str(root / "bg")
+    ds = lambda pipeline, **kw: dict(
+        type="BackgroundMixDataset",
+        ann_file="",
+        bg_dir=bg_dir,
+        data_prefix=str(frames_root),
+        pipeline=pipeline,
+        bg_resize=64,
+        bg_crop_size=(56, 56),
+        **kw,
+    )
+    cfg = dict(
+        work_dir=str(work_dir),
+        videos_per_gpu=8,
+        workers_per_gpu=2,
+        accumulate_grad_batches=1,
+        testing_videos_per_gpu=8,
+        testing_workers_per_gpu=2,
+        task_splits=[[0, 1], [2], [3]],
+        methods="base",
+        starting_task=0,
+        ending_task=2,
+        use_cbf=False,
+        cbf_train_backbone=False,
+        budget_size=2,
+        storing_methods="videos",
+        budget_type="class",
+        num_epochs_per_task=1,
+        cbf_num_epochs_per_task=1,
+        save_best=False,
+        log_every_n_steps=1,
+        keep_all_backgrounds=False,
+        cbf_full_bg=False,
+        model=dict(
+            type="CILRecognizer2D",
+            backbone=dict(type="ResNetTSM", depth=18, num_segments=T, shift_div=8, norm_eval=False),
+            cls_head=dict(
+                type="IncrementalTSMHead",
+                num_classes=2,
+                in_channels=512,
+                inc_head_config=dict(type="LocalSimilarityClassifier", out_features=2, nb_proxies=1),
+                num_segments=T,
+                loss_cls=dict(type="LSCLoss"),
+                dropout_ratio=0.5,
+            ),
+            test_cfg=dict(average_clips="prob"),
+        ),
+        kd_modules_names=["backbone.layer4", "cls_head.avg_pool"],
+        kd_weight_by_module=[0.01, 0.01],
+        kd_exemplar_only=False,
+        adaptive_scale_factors=[1.0, 1.5, 2.0],
+        optimizer=dict(
+            type="SGD",
+            constructor="CILTSMOptimizerConstructorImprovised",
+            paramwise_cfg=dict(fc_lr_scale_factor=5.0),
+            lr=0.02,
+            momentum=0.9,
+            weight_decay=1e-4,
+        ),
+        lr_scheduler=dict(type="MultiStepLR", params=dict(milestones=[20], gamma=0.1)),
+        cbf_optimizer=dict(
+            type="SGD",
+            constructor="CILTSMOptimizerConstructorImprovised",
+            paramwise_cfg=dict(fc_lr_scale_factor=1.0),
+            lr=0.01,
+            momentum=0.9,
+            weight_decay=1e-4,
+        ),
+        cbf_lr_scheduler=dict(type="MultiStepLR", params=dict(milestones=[20], gamma=0.1)),
+        data_root=str(frames_root),
+        train_ann_file=str(train_ann),
+        val_ann_file=str(val_ann),
+        cil_ann_file_template="{}_task_{}.txt",
+        data=dict(
+            train=ds(train_pipeline, alpha=0.5, with_randAug=True),
+            val=ds(val_pipeline, test_mode=True),
+            test=ds(val_pipeline, test_mode=True),
+            features_extraction=ds(val_pipeline, test_mode=True),
+            features_extraction_epochs=1,
+            exemplar=ds(train_pipeline, alpha=0.5, with_randAug=True),
+        ),
+        seed=0,
+    )
+    cfg.update(overrides)
+    return Config.fromdict(cfg)
+
+
+@pytest.fixture(scope="module")
+def cil_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cil")
+    frames_root, train_ann, val_ann = make_rawframe_tree(
+        root, num_classes=4, videos_per_class=5, num_frames=8, size=(70, 92)
+    )
+    return root, frames_root, train_ann, val_ann
+
+
+def test_full_cil_run_and_protocol(cil_env, tmp_path_factory):
+    root, frames_root, train_ann, val_ann = cil_env
+    work_dir = tmp_path_factory.mktemp("work")
+    cfg = make_cil_config(root, frames_root, train_ann, val_ann, work_dir)
+    trainer = CILTrainer(cfg)
+
+    # annotation split files exist with remapped labels
+    assert (work_dir / "task_splits" / "train_task_0.txt").exists()
+    assert (work_dir / "config.py").exists()
+
+    trainer.train()
+
+    # per-task checkpoints + exemplars + class means were produced
+    for t in range(3):
+        assert (work_dir / "ckpt" / f"ckpt_task_{t}.msgpack").exists()
+        assert (work_dir / "exemplar" / f"exemplar_task_{t}.txt").exists()
+        assert (work_dir / "ckpt" / f"exemplar_class_mean_task_{t}.npz").exists()
+
+    # exemplar sizes: budget 2 per class
+    ex0 = (work_dir / "exemplar" / "exemplar_task_0.txt").read_text().strip().splitlines()
+    assert len(ex0) == 4  # 2 classes x budget 2
+    ex1 = (work_dir / "exemplar" / "exemplar_task_1.txt").read_text().strip().splitlines()
+    assert len(ex1) == 2
+
+    # class means shapes follow classifier growth
+    cm2 = np.load(work_dir / "ckpt" / "exemplar_class_mean_task_2.npz")["class_means"]
+    assert cm2.shape == (4, 512)
+
+    # classifier grew to 4 classes by the last task
+    assert trainer.variables["params"]["head"]["fc_weights"].shape[0] == 4
+
+    # full-protocol testing over saved checkpoints
+    trainer2 = CILTrainer(cfg, dump_config=False)
+    trainer2.cil_testing(test_nme=True)
+    assert (work_dir / "cnn_result.txt").exists()
+    assert (work_dir / "nme_result.txt").exists()
+    table = (work_dir / "cnn_result.txt").read_text()
+    assert "task 0" in table and "task 2" in table and "avg_acc" in table
+
+
+def test_resume_from_task(cil_env, tmp_path_factory):
+    root, frames_root, train_ann, val_ann = cil_env
+    work_dir = tmp_path_factory.mktemp("work_resume")
+    cfg = make_cil_config(
+        root, frames_root, train_ann, val_ann, work_dir, ending_task=1
+    )
+    CILTrainer(cfg).train()  # tasks 0..1
+
+    cfg2 = make_cil_config(
+        root, frames_root, train_ann, val_ann, work_dir, starting_task=2, ending_task=2
+    )
+    trainer = CILTrainer(cfg2, dump_config=False)
+    # resumed state: classifier grown to 4, exemplars collected for 2 tasks
+    assert trainer.variables["params"]["head"]["fc_weights"].shape[0] == 4
+    assert len(trainer.data_module.exemplar_datasets) == 2
+    trainer.train()
+    assert (work_dir / "ckpt" / "ckpt_task_2.msgpack").exists()
