@@ -1,0 +1,147 @@
+"""ctypes binding for the native C++ decode kernel (native/decoder.cpp).
+
+Builds ``libbdvcdec.so`` on first use (g++ + libjpeg, both baked into the
+image) and exposes:
+
+  * ``decode_file(path)`` — full decode to an HWC uint8 array
+  * ``decode_resize_crop_batch(paths, short_side, out_h, out_w, crops)`` —
+    the batched fast path: DCT-scaled decode + short-side resize + crop into
+    one dense uint8 batch, parallelized over a C++ thread pool.
+
+``available()`` gates everything; callers fall back to the cv2 host pipeline
+when the native library cannot be built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libbdvcdec.so"
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return _LIB_PATH.exists()
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
+def _load():
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not _LIB_PATH.exists() and not _build():
+            _build_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            _build_failed = True
+            return None
+        lib.bdvc_version.restype = ctypes.c_int
+        lib.bdvc_decode_file.restype = ctypes.c_int
+        lib.bdvc_decode_file.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.bdvc_decode_resize_crop_batch.restype = ctypes.c_int
+        lib.bdvc_decode_resize_crop_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_file(path: str, max_bytes: int = 64 * 1024 * 1024) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decoder unavailable")
+    buf = np.empty(max_bytes, dtype=np.uint8)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.bdvc_decode_file(
+        path.encode(),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        max_bytes,
+        ctypes.byref(w),
+        ctypes.byref(h),
+    )
+    if rc != 0:
+        raise IOError(f"decode failed ({rc}) for {path}")
+    return buf[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
+
+
+def decode_resize_crop_batch(
+    paths: Sequence[str],
+    short_side: int,
+    out_h: int,
+    out_w: int,
+    crops: Optional[Sequence[Tuple[int, int]]] = None,
+    num_threads: int = 0,
+) -> np.ndarray:
+    """Decode -> resize(short side) -> crop each path into (N, out_h, out_w, 3).
+
+    crops: per-image (x, y) offsets after resize; None -> center crop."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decoder unavailable")
+    n = len(paths)
+    out = np.empty((n, out_h, out_w, 3), dtype=np.uint8)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if crops is None:
+        cx = cy = None
+        cx_ptr = cy_ptr = ctypes.cast(None, ctypes.POINTER(ctypes.c_int))
+    else:
+        cx = np.ascontiguousarray([c[0] for c in crops], dtype=np.int32)
+        cy = np.ascontiguousarray([c[1] for c in crops], dtype=np.int32)
+        cx_ptr = cx.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+        cy_ptr = cy.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+    if num_threads <= 0:
+        num_threads = min(8, os.cpu_count() or 1)
+    rc = lib.bdvc_decode_resize_crop_batch(
+        c_paths,
+        n,
+        short_side,
+        out_h,
+        out_w,
+        cx_ptr,
+        cy_ptr,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        num_threads,
+    )
+    if rc != 0:
+        raise IOError(f"decode failed for {paths[rc - 1]}")
+    return out

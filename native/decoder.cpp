@@ -1,0 +1,225 @@
+// bdvc native decode kernel: JPEG decode + short-side resize + crop, batched
+// over a thread pool.
+//
+// TPU-native replacement for the reference's per-sample CPU pipeline hot loop
+// (SURVEY.md §3.3: RawFrameDecode -> Resize(-1,256) -> crop chain inside
+// torch DataLoader worker processes). The decode path uses libjpeg DCT
+// scaling (1/2, 1/4, 1/8) to avoid full-resolution IDCTs when the target is
+// small, then a separable bilinear resize, then an optional fixed-size crop —
+// producing a dense uint8 HWC batch ready for jax.device_put (normalization
+// and augmentation happen on-device, bdvcil_tpu/ops/augment.py).
+//
+// C ABI (ctypes-friendly):
+//   bdvc_version() -> int
+//   bdvc_decode_file(path, out, cap, &w, &h)          full-size decode
+//   bdvc_decode_resize_crop_batch(...)                the batch fast path
+//
+// Build: g++ -O3 -march=native -shared -fPIC decoder.cpp -o libbdvcdec.so -ljpeg
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+#include <atomic>
+#include <cmath>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct ErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void error_exit_cb(j_common_ptr cinfo) {
+  ErrorMgr* err = reinterpret_cast<ErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Decode a JPEG file into an RGB buffer. When min_short_side > 0, pick the
+// largest DCT scale denominator (2, 4, 8) that keeps the decoded short side
+// >= min_short_side — decoding at 1/4 scale is ~10x cheaper than full size.
+bool decode_jpeg_file(const char* path, std::vector<uint8_t>& out, int& width,
+                      int& height, int min_short_side) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit_cb;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
+
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+
+  if (min_short_side > 0) {
+    const int short_side =
+        cinfo.image_width < cinfo.image_height ? cinfo.image_width : cinfo.image_height;
+    int denom = 1;
+    while (denom < 8 && short_side / (denom * 2) >= min_short_side) denom *= 2;
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = denom;
+  }
+
+  jpeg_start_decompress(&cinfo);
+  width = cinfo.output_width;
+  height = cinfo.output_height;
+  out.resize(static_cast<size_t>(width) * height * 3);
+
+  const int row_stride = width * 3;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out.data() + static_cast<size_t>(cinfo.output_scanline) * row_stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return true;
+}
+
+// Separable bilinear resize, RGB HWC uint8 (cv2.INTER_LINEAR-compatible
+// half-pixel-center sampling).
+void bilinear_resize(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw, int dh) {
+  if (sw == dw && sh == dh) {
+    std::memcpy(dst, src, static_cast<size_t>(sw) * sh * 3);
+    return;
+  }
+  const float x_ratio = static_cast<float>(sw) / dw;
+  const float y_ratio = static_cast<float>(sh) / dh;
+
+  std::vector<int> x0s(dw), x1s(dw);
+  std::vector<float> xws(dw);
+  for (int x = 0; x < dw; ++x) {
+    float sx = (x + 0.5f) * x_ratio - 0.5f;
+    if (sx < 0) sx = 0;
+    int x0 = static_cast<int>(sx);
+    int x1 = x0 + 1 < sw ? x0 + 1 : sw - 1;
+    x0s[x] = x0;
+    x1s[x] = x1;
+    xws[x] = sx - x0;
+  }
+  for (int y = 0; y < dh; ++y) {
+    float sy = (y + 0.5f) * y_ratio - 0.5f;
+    if (sy < 0) sy = 0;
+    int y0 = static_cast<int>(sy);
+    int y1 = y0 + 1 < sh ? y0 + 1 : sh - 1;
+    const float wy = sy - y0;
+    const uint8_t* row0 = src + static_cast<size_t>(y0) * sw * 3;
+    const uint8_t* row1 = src + static_cast<size_t>(y1) * sw * 3;
+    uint8_t* drow = dst + static_cast<size_t>(y) * dw * 3;
+    for (int x = 0; x < dw; ++x) {
+      const int x0 = x0s[x] * 3, x1 = x1s[x] * 3;
+      const float wx = xws[x];
+      for (int c = 0; c < 3; ++c) {
+        const float top = row0[x0 + c] + (row0[x1 + c] - row0[x0 + c]) * wx;
+        const float bot = row1[x0 + c] + (row1[x1 + c] - row1[x0 + c]) * wx;
+        drow[x * 3 + c] = static_cast<uint8_t>(top + (bot - top) * wy + 0.5f);
+      }
+    }
+  }
+}
+
+struct Task {
+  const char* path;
+  int crop_x, crop_y;  // -1 -> center
+  uint8_t* out;        // out_h * out_w * 3
+};
+
+}  // namespace
+
+extern "C" {
+
+int bdvc_version() { return 1; }
+
+// Full decode of one file into caller buffer (capacity cap bytes). Returns 0
+// on success, -1 decode failure, -2 buffer too small.
+int bdvc_decode_file(const char* path, uint8_t* out, long cap, int* w, int* h) {
+  std::vector<uint8_t> buf;
+  int width = 0, height = 0;
+  if (!decode_jpeg_file(path, buf, width, height, /*min_short_side=*/0)) return -1;
+  if (static_cast<long>(buf.size()) > cap) return -2;
+  std::memcpy(out, buf.data(), buf.size());
+  *w = width;
+  *h = height;
+  return 0;
+}
+
+// Batch fast path: for each of n paths
+//   decode (DCT-scaled) -> resize short side to `short_side` (keep ratio)
+//   -> crop out_h x out_w at (crop_x[i], crop_y[i]) (-1 -> center, clipped)
+// writing HWC uint8 into out[i * out_h * out_w * 3]. Runs on `num_threads`
+// std::threads. Returns 0 on success or (1 + index) of the first failed file.
+int bdvc_decode_resize_crop_batch(const char** paths, int n, int short_side,
+                                  int out_h, int out_w, const int* crop_x,
+                                  const int* crop_y, uint8_t* out, int num_threads) {
+  if (n <= 0) return 0;
+  if (num_threads < 1) num_threads = 1;
+  if (num_threads > n) num_threads = n;
+
+  std::atomic<int> next(0);
+  std::atomic<int> failed(0);
+  const size_t frame_bytes = static_cast<size_t>(out_h) * out_w * 3;
+
+  auto worker = [&]() {
+    std::vector<uint8_t> decoded, resized;
+    while (true) {
+      const int i = next.fetch_add(1);
+      if (i >= n || failed.load() != 0) break;
+
+      int w = 0, h = 0;
+      if (!decode_jpeg_file(paths[i], decoded, w, h, short_side)) {
+        int expected = 0;
+        failed.compare_exchange_strong(expected, i + 1);
+        break;
+      }
+      // resize so the short side == short_side (mmcv rescale semantics:
+      // int(dim * factor + 0.5))
+      const float factor = static_cast<float>(short_side) / (w < h ? w : h);
+      const int rw = static_cast<int>(w * factor + 0.5f);
+      const int rh = static_cast<int>(h * factor + 0.5f);
+      resized.resize(static_cast<size_t>(rw) * rh * 3);
+      bilinear_resize(decoded.data(), w, h, resized.data(), rw, rh);
+
+      int cx = crop_x ? crop_x[i] : -1;
+      int cy = crop_y ? crop_y[i] : -1;
+      if (cx < 0) cx = (rw - out_w) / 2;
+      if (cy < 0) cy = (rh - out_h) / 2;
+      if (cx < 0) cx = 0;
+      if (cy < 0) cy = 0;
+      if (cx + out_w > rw) cx = rw - out_w;
+      if (cy + out_h > rh) cy = rh - out_h;
+      if (cx < 0 || cy < 0) {  // target larger than resized image: upscale
+        bilinear_resize(resized.data(), rw, rh, out + static_cast<size_t>(i) * frame_bytes,
+                        out_w, out_h);
+        continue;
+      }
+      uint8_t* dst = out + static_cast<size_t>(i) * frame_bytes;
+      for (int y = 0; y < out_h; ++y) {
+        std::memcpy(dst + static_cast<size_t>(y) * out_w * 3,
+                    resized.data() + (static_cast<size_t>(cy + y) * rw + cx) * 3,
+                    static_cast<size_t>(out_w) * 3);
+      }
+    }
+  };
+
+  std::vector<std::thread> threads;
+  threads.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return failed.load();
+}
+
+}  // extern "C"
