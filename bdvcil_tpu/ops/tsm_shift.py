@@ -75,18 +75,37 @@ def _shift_kernel(x_ref, out_ref, *, num_segments: int, fold: int):
     out_ref[...] = jnp.concatenate([left, right, x[:, :, 2 * fold :]], axis=-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def temporal_shift_pallas(x: jax.Array, num_segments: int, shift_div: int = 8) -> jax.Array:
-    return _temporal_shift_pallas_impl(x, num_segments, shift_div, reverse=False)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def temporal_shift_pallas(
+    x: jax.Array, num_segments: int, shift_div: int = 8, interpret: bool = False
+) -> jax.Array:
+    return _temporal_shift_pallas_impl(
+        x, num_segments, shift_div, reverse=False, interpret=interpret
+    )
 
 
 def _temporal_shift_pallas_impl(
-    x: jax.Array, num_segments: int, shift_div: int, reverse: bool
+    x: jax.Array, num_segments: int, shift_div: int, reverse: bool, interpret: bool = False
 ) -> jax.Array:
     nt, h, w, c = x.shape
     n = nt // num_segments
     fold = c // shift_div
-    x3 = x.reshape(n, num_segments, h * w, c)
+    hw = h * w
+    x3 = x.reshape(n, num_segments, hw, c)
+
+    # VMEM budget: block = (T, hw_tile, C); keep in+out blocks ~<= 8 MB so the
+    # double-buffered pipeline fits the ~16 MB VMEM (pallas_guide: memory
+    # hierarchy). The shift only mixes the T axis, so HW tiles are independent.
+    dtype_bytes = x.dtype.itemsize
+    budget = 4 * 1024 * 1024
+    hw_tile = max(8, min(hw, budget // max(1, num_segments * c * dtype_bytes)))
+    hw_tile = max(8, (hw_tile // 8) * 8)
+    if hw % hw_tile and hw < 8 * 1024:
+        # prefer an exact divisor for small spatial extents
+        for cand in range(hw_tile, 0, -1):
+            if hw % cand == 0:
+                hw_tile = cand
+                break
 
     if reverse:
         # backward of the shift: gradients flow the opposite direction,
@@ -104,28 +123,32 @@ def _temporal_shift_pallas_impl(
 
     out = pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(n, pl.cdiv(hw, hw_tile)),
         in_specs=[
             pl.BlockSpec(
-                (1, num_segments, h * w, c),
-                lambda i: (i, 0, 0, 0),
+                (None, num_segments, hw_tile, c),  # None squeezes the video dim
+                lambda i, j: (i, 0, j, 0),
                 memory_space=pltpu.VMEM,
             )
         ],
         out_specs=pl.BlockSpec(
-            (1, num_segments, h * w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (None, num_segments, hw_tile, c), lambda i, j: (i, 0, j, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, num_segments, h * w, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, num_segments, hw, c), x.dtype),
+        interpret=interpret,
     )(x3)
     return out.reshape(nt, h, w, c)
 
 
-def _shift_fwd(x, num_segments, shift_div):
-    return temporal_shift_pallas(x, num_segments, shift_div), None
+def _shift_fwd(x, num_segments, shift_div, interpret):
+    return temporal_shift_pallas(x, num_segments, shift_div, interpret), None
 
 
-def _shift_bwd(num_segments, shift_div, _, g):
-    return (_temporal_shift_pallas_impl(g, num_segments, shift_div, reverse=True),)
+def _shift_bwd(num_segments, shift_div, interpret, _, g):
+    return (
+        _temporal_shift_pallas_impl(g, num_segments, shift_div, reverse=True, interpret=interpret),
+    )
 
 
 temporal_shift_pallas.defvjp(_shift_fwd, _shift_bwd)
