@@ -1,0 +1,240 @@
+"""Fast training input path: native uint8 decode + device-fused augmentation.
+
+This is the throughput pipeline (SURVEY.md §7.3 "device augmentation kernels"):
+the reference decodes, resizes, augments, normalizes and tensorizes every
+sample in CPU dataloader workers (§3.3 hot loop); here host threads only run
+the C++ decode kernel (native/decoder.cpp: DCT-scaled JPEG decode +
+short-side resize + crop into a dense uint8 batch) and everything elementwise
+— normalize, flip, background alpha-blend, (optionally) RandAugment — runs
+fused on the TPU (ops/augment.py, ops/rand_augment_dev.py).
+
+Augmentation distribution matches the reference train pipeline:
+  * SampleFrames(1x8) jittered per segment (data/sampling.py)
+  * MultiScaleCrop semantics via "short-side trick": cropping 224^2 from a
+    short-side-s resize covers the same area fraction as cropping
+    224*(256/s) from a short-side-256 resize, so sampling
+    s in {224, 256, 299, 339} == scales (1, .875, .75, .66); the 13 fixed
+    offsets are drawn on the resized geometry like MultiScaleCrop
+    (num_fixed_crops=13, reference config :129-135)
+  * whole-clip flip, bgmix probability / randAug mutex drawn on host
+    (per-sample reproducible RNG), applied branchlessly on device
+
+Batch layout out: {'imgs_u8' (B,T,224,224,3) u8, 'bg_u8' (B,224,224,3) u8,
+'apply_bgmix' (B,) bool, 'flip' (B,) bool, 'randaug_ops' (B,n) i32 or absent,
+'label' (B,1) i64}.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .sampling import SampleFrames
+from . import native
+
+# short sides realizing MultiScaleCrop scales (1, .875, .75, .66) at crop 224
+MSC_SHORT_SIDES = (224, 256, 299, 339)
+
+
+def _fixed_crop_offsets(rw: int, rh: int, crop: int) -> List:
+    w_step = (rw - crop) // 4
+    h_step = (rh - crop) // 4
+    offsets = [
+        (0, 0),
+        (4 * w_step, 0),
+        (0, 4 * h_step),
+        (4 * w_step, 4 * h_step),
+        (2 * w_step, 2 * h_step),
+        (0, 2 * h_step),
+        (4 * w_step, 2 * h_step),
+        (2 * w_step, 4 * h_step),
+        (2 * w_step, 0),
+        (1 * w_step, 1 * h_step),
+        (3 * w_step, 1 * h_step),
+        (1 * w_step, 3 * h_step),
+        (3 * w_step, 3 * h_step),
+    ]
+    return offsets
+
+
+class FastBGMixLoader:
+    """Batched uint8 producer over a BackgroundMixDataset-shaped corpus."""
+
+    def __init__(
+        self,
+        video_infos: Sequence[dict],
+        bg_files: Sequence[str],
+        batch_size: int,
+        num_segments: int = 8,
+        crop_size: int = 224,
+        bg_short_side: int = 256,
+        filename_tmpl: str = "img_{:05}.jpg",
+        start_index: int = 1,
+        randaug_prob: float = 0.75,  # bgmix fires on the complement (mutex)
+        bgmix_prob: float = 0.25,  # used when randaug_prob < 0 (bgmix-only mode)
+        with_randaug_mutex: bool = True,
+        flip_ratio: float = 0.0,  # reference train pipeline has no Flip op
+        shuffle: bool = True,
+        seed: int = 0,
+        num_threads: int = 0,
+        drop_last: bool = True,
+        prefetch: int = 2,
+    ):
+        if not native.available():
+            raise RuntimeError("native decoder unavailable; use the standard DataLoader")
+        self.video_infos = list(video_infos)
+        self.bg_files = list(bg_files)
+        self.batch_size = batch_size
+        self.num_segments = num_segments
+        self.crop_size = crop_size
+        self.bg_short_side = bg_short_side
+        self.filename_tmpl = filename_tmpl
+        self.start_index = start_index
+        self.randaug_prob = randaug_prob
+        self.bgmix_prob = bgmix_prob
+        self.with_randaug_mutex = with_randaug_mutex
+        self.flip_ratio = flip_ratio
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_threads = num_threads
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+        self.sampler = SampleFrames(clip_len=1, frame_interval=1, num_clips=num_segments)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.video_infos)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    # -- batch assembly ----------------------------------------------------
+    def _make_batch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        b = len(indices)
+        t = self.num_segments
+        crop = self.crop_size
+
+        frame_paths: List[str] = []
+        crops: List = []
+        short_sides = np.empty(b * t, np.int32)
+        labels = np.empty((b, 1), np.int64)
+        flip = np.empty(b, bool)
+        apply_bgmix = np.empty(b, bool)
+        bg_paths: List[str] = []
+        bg_crops: List = []
+
+        for row, idx in enumerate(indices):
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, self.epoch, int(idx), 7])
+            )
+            info = self.video_infos[int(idx)]
+            labels[row, 0] = info["label"]
+            flip[row] = rng.random() < self.flip_ratio
+
+            # bgmix decision (mutex with randAug; comix_loader.py:110-123)
+            if self.with_randaug_mutex and self.randaug_prob >= 0:
+                randaug_fires = rng.random() < self.randaug_prob
+                apply_bgmix[row] = not randaug_fires
+            else:
+                apply_bgmix[row] = rng.random() < self.bgmix_prob
+
+            # whole-clip-consistent crop geometry (MultiScaleCrop semantics)
+            short = int(MSC_SHORT_SIDES[rng.integers(len(MSC_SHORT_SIDES))])
+            # resized dims (frames in one video share dims; use first frame's
+            # aspect only implicitly via centered candidate offsets: the
+            # native kernel clips offsets to the resized extent)
+            frame_inds = self.sampler.sample(info["total_frames"], rng) + self.start_index
+            # offsets drawn on a square worst case; clipping in the native
+            # kernel keeps them valid for any aspect ratio
+            offsets = _fixed_crop_offsets(short * 2, short, crop)
+            ox, oy = offsets[int(rng.integers(len(offsets)))]
+
+            for fi in frame_inds:
+                frame_paths.append(osp.join(info["frame_dir"], self.filename_tmpl.format(int(fi))))
+                crops.append((int(ox), int(oy)))
+                short_sides[row * t : (row + 1) * t] = short
+
+            if self.bg_files and apply_bgmix[row]:
+                bg_paths.append(self.bg_files[int(rng.integers(len(self.bg_files)))])
+            else:
+                # placeholder (not blended); reuse the first frame path
+                bg_paths.append(frame_paths[-1])
+                apply_bgmix[row] = apply_bgmix[row] and bool(self.bg_files)
+            bx = int(rng.integers(0, 10_000))
+            by = int(rng.integers(0, 10_000))
+            bg_crops.append((bx, by))  # clipped to valid range natively
+
+        # decode clips grouped by short side (the native call takes one
+        # short_side per batch); group rows to keep the call count small
+        imgs = np.empty((b * t, crop, crop, 3), np.uint8)
+        order = np.argsort(short_sides, kind="stable")
+        pos = 0
+        while pos < len(order):
+            s = short_sides[order[pos]]
+            end = pos
+            while end < len(order) and short_sides[order[end]] == s:
+                end += 1
+            sel = order[pos:end]
+            out = native.decode_resize_crop_batch(
+                [frame_paths[i] for i in sel],
+                short_side=int(s),
+                out_h=crop,
+                out_w=crop,
+                crops=[crops[i] for i in sel],
+                num_threads=self.num_threads,
+            )
+            imgs[sel] = out
+            pos = end
+
+        bg = native.decode_resize_crop_batch(
+            bg_paths,
+            short_side=self.bg_short_side,
+            out_h=crop,
+            out_w=crop,
+            crops=bg_crops,
+            num_threads=self.num_threads,
+        )
+
+        return {
+            "imgs_u8": imgs.reshape(b, t, crop, crop, 3),
+            "bg_u8": bg,
+            "apply_bgmix": apply_bgmix,
+            "flip": flip,
+            "label": labels,
+        }
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.video_infos)
+        indices = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(np.random.SeedSequence([self.seed, self.epoch]))
+            rng.shuffle(indices)
+        batches = [indices[i : i + self.batch_size] for i in range(0, n, self.batch_size)]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+
+        # single producer thread keeps one batch decoding while the device
+        # trains on the previous one (the C++ kernel releases the GIL)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for bidx in batches:
+                    q.put(self._make_batch(bidx))
+            finally:
+                q.put(stop)
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        th.join()

@@ -107,6 +107,37 @@ def tubemix(
     return imgs_out, targets_out
 
 
+def fused_train_augment(
+    imgs_u8: jax.Array,
+    bg_u8: jax.Array,
+    apply_bgmix: jax.Array,
+    flip: jax.Array,
+    alpha: float = 0.5,
+    mean=(123.675, 116.28, 103.53),
+    std=(58.395, 57.12, 57.375),
+    dtype=jnp.float32,
+) -> jax.Array:
+    """The fused device half of the fast input path.
+
+    Host workers ship raw uint8 crops (4 bytes/pixel less than float32 over
+    PCIe); one fused XLA region does normalize + whole-clip horizontal flip +
+    background alpha-blend. Replaces the reference's per-sample CPU chain
+    Normalize/Flip/_mix_background (SURVEY.md §3.3).
+
+    Args:
+      imgs_u8: (B, M, H, W, C) uint8 clip crops.
+      bg_u8:   (B, H, W, C) uint8 background crops.
+      apply_bgmix: (B,) bool — blend mask (prob draw / randAug mutex, host-side).
+      flip:    (B,) bool — whole-clip horizontal flip.
+    """
+    imgs = normalize_batch(imgs_u8, mean, std, jnp.float32)
+    flipped = imgs[:, :, :, ::-1, :]
+    imgs = jnp.where(flip[:, None, None, None, None], flipped, imgs)
+    bg = normalize_batch(bg_u8, mean, std, jnp.float32)
+    out = background_blend(imgs, bg, alpha, apply_mask=apply_bgmix)
+    return out.astype(dtype)
+
+
 def temporal_median(frames: jax.Array) -> jax.Array:
     """Median over the frame axis: (T, H, W, C) -> (H, W, C) uint8.
 

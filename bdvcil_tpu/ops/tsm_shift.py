@@ -97,15 +97,13 @@ def _temporal_shift_pallas_impl(
     # double-buffered pipeline fits the ~16 MB VMEM (pallas_guide: memory
     # hierarchy). The shift only mixes the T axis, so HW tiles are independent.
     dtype_bytes = x.dtype.itemsize
-    budget = 4 * 1024 * 1024
+    # ~1 MB per block: x2 for in+out, x2 for double buffering, plus the
+    # concat intermediates must all fit the ~16 MB VMEM
+    budget = 1024 * 1024
     hw_tile = max(8, min(hw, budget // max(1, num_segments * c * dtype_bytes)))
-    hw_tile = max(8, (hw_tile // 8) * 8)
-    if hw % hw_tile and hw < 8 * 1024:
-        # prefer an exact divisor for small spatial extents
-        for cand in range(hw_tile, 0, -1):
-            if hw % cand == 0:
-                hw_tile = cand
-                break
+    # sublane constraint: second-to-last block dim must be a multiple of 8
+    # (or the full extent); edge blocks are masked by pallas
+    hw_tile = hw if hw_tile >= hw else max(8, (hw_tile // 8) * 8)
 
     if reverse:
         # backward of the shift: gradients flow the opposite direction,

@@ -52,16 +52,26 @@ def train_epochs(
     for epoch in range(num_epochs):
         loader.set_epoch(epoch)
         for batch in loader:
-            imgs = batch["imgs"]
+            if "imgs_u8" in batch:  # fast uint8 path (data/device_pipeline.py)
+                imgs = {
+                    k: batch[k] for k in ("imgs_u8", "bg_u8", "apply_bgmix", "flip")
+                }
+            else:
+                imgs = batch["imgs"]
             labels = batch["label"]
             extra = _extra_fields(batch)
             if mesh is not None:
-                put = shard_batch({"imgs": imgs, "label": labels, **extra}, mesh)
-                imgs, labels = put["imgs"], put["label"]
+                imgs_d = imgs if isinstance(imgs, dict) else {"imgs": imgs}
+                put = shard_batch({**imgs_d, "label": labels, **extra}, mesh)
+                labels = put["label"]
                 extra = {k: put[k] for k in extra}
+                if isinstance(imgs, dict):
+                    imgs = {k: put[k] for k in imgs}
+                else:
+                    imgs = put["imgs"]
             rng_key, step_key = jax.random.split(rng_key)
             state, metrics = step_fn(state, prev_variables, imgs, labels, extra, step_key)
-            meter.tick(imgs.shape[0])
+            meter.tick(labels.shape[0])
             step += 1
             if step % log_every_n_steps == 0:
                 last_metrics = {k: float(v) for k, v in metrics.items()}

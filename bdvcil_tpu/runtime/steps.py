@@ -72,6 +72,7 @@ def make_train_step(
     kd_config: Optional[Dict[str, Any]] = None,
     video_mix: Optional[Dict[str, float]] = None,
     donate: bool = True,
+    input_fn: Optional[Callable] = None,
 ) -> Callable:
     """Build the jitted step for one task.
 
@@ -97,6 +98,11 @@ def make_train_step(
     num_segments = spec.num_segments
 
     def loss_fn(params, batch_stats, prev_variables, imgs, labels, extra, rng):
+        if input_fn is not None:
+            # fast input path: imgs is a dict of raw uint8 fields; the fused
+            # device augmentation (ops/augment.py fused_train_augment) turns
+            # it into the normalized clip batch inside the same jit region
+            imgs = input_fn(imgs)
         labels = _squeeze_labels(labels)
         metrics: Dict[str, jax.Array] = {}
 
