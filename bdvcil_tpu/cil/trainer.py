@@ -257,7 +257,7 @@ class CILTrainer:
             alpha=float(self.config.get("video_mix_alpha", 1.0)),
         )
 
-    def _fit(self, loader, num_epochs: int, phase: str) -> None:
+    def _fit(self, loader, num_epochs: int, phase: str, input_fn=None) -> None:
         t = self._current_task
         nc = self.num_classes(t)
         num_batches = len(loader)
@@ -271,6 +271,7 @@ class CILTrainer:
             prev_num_classes=self.num_classes(t - 1) if t > 0 else 0,
             kd_config=self._kd_config() if phase != "cbf" else None,
             video_mix=self._video_mix_cfg(),
+            input_fn=input_fn,
         )
         state = TrainState.create(self.variables, tx)
 
@@ -322,10 +323,45 @@ class CILTrainer:
             start += n
         return meter.avg
 
+    def _try_fast_loader(self):
+        """Fast uint8 input path when configured and applicable: native C++
+        decode + device-fused RandAugment/normalize/bgmix
+        (data/device_pipeline.py). Falls back to the host pipeline loader."""
+        if not self.config.get("use_fast_input_pipeline", False):
+            return None, None
+        from ..data import native
+        from ..data.datasets import BackgroundMixDataset
+        from ..data.device_pipeline import FastBGMixLoader, make_fast_input_fn
+
+        ds = self.data_module.train_dataset
+        if not native.available() or not isinstance(ds, BackgroundMixDataset):
+            logger.info("fast input pipeline unavailable; using host pipeline")
+            return None, None
+
+        randaug_prob = float(self.config.get("randAug_prob", 0.75))
+        loader = FastBGMixLoader(
+            ds.video_infos,
+            ds.bg_files,
+            batch_size=self.config.videos_per_gpu,
+            num_segments=self.spec.num_segments,
+            randaug_prob=randaug_prob,
+            with_randaug_mutex=bool(getattr(ds, "with_randAug", True)),
+            bgmix_prob=float(getattr(ds, "prob", 0.25)),
+            seed=self.seed,
+        )
+        input_fn = make_fast_input_fn(
+            alpha=float(getattr(ds, "alpha", 0.5)),
+            with_randaug=randaug_prob >= 0,
+            dtype=self.spec.dtype,
+        )
+        return loader, input_fn
+
     def train_task(self) -> None:
         self.training_phase = "inc_step"
-        loader = self.data_module.train_dataloader()
-        self._fit(loader, self.config.num_epochs_per_task, phase="inc_step")
+        loader, input_fn = self._try_fast_loader()
+        if loader is None:
+            loader = self.data_module.train_dataloader()
+        self._fit(loader, self.config.num_epochs_per_task, phase="inc_step", input_fn=input_fn)
 
     def train_cbf(self) -> None:
         """Class-balanced fine-tuning on the exemplar set (cil.py:759-795)."""

@@ -61,6 +61,50 @@ def _fixed_crop_offsets(rw: int, rh: int, crop: int) -> List:
     return offsets
 
 
+def make_fast_input_fn(
+    alpha: float = 0.5,
+    mean=(123.675, 116.28, 103.53),
+    std=(58.395, 57.12, 57.375),
+    randaug_n: int = 2,
+    randaug_m: int = 10,
+    with_randaug: bool = True,
+    dtype=None,
+):
+    """Device half of the fast path, for ``make_train_step(input_fn=...)``:
+    uint8 batch dict -> augmented normalized clips, fully fused under jit.
+
+    Order matches the reference train pipeline: RandAugment runs on decoded
+    uint8 crops (before Normalize, rand_augment config position :127), then
+    normalize + flip + bgmix (mutually exclusive with randAug via the masks
+    the loader drew)."""
+    import jax.numpy as jnp
+
+    from ..ops.augment import fused_train_augment
+    from ..ops.rand_augment_dev import rand_augment_batch
+
+    def input_fn(batch):
+        imgs_u8 = batch["imgs_u8"]
+        if with_randaug:
+            augmented = rand_augment_batch(
+                batch["randaug_key"], imgs_u8, n=randaug_n, m=randaug_m
+            )
+            sel = batch["apply_randaug"][:, None, None, None, None]
+            imgs_u8 = jnp.where(sel, augmented, imgs_u8)
+        out_dtype = dtype if dtype is not None else jnp.float32
+        return fused_train_augment(
+            imgs_u8,
+            batch["bg_u8"],
+            batch["apply_bgmix"],
+            batch["flip"],
+            alpha=alpha,
+            mean=mean,
+            std=std,
+            dtype=out_dtype,
+        )
+
+    return input_fn
+
+
 class FastBGMixLoader:
     """Batched uint8 producer over a BackgroundMixDataset-shaped corpus."""
 
@@ -128,6 +172,9 @@ class FastBGMixLoader:
         bg_paths: List[str] = []
         bg_crops: List = []
 
+        apply_randaug = np.zeros(b, bool)
+        randaug_keys = np.empty((b, 2), np.uint32)
+
         for row, idx in enumerate(indices):
             rng = np.random.default_rng(
                 np.random.SeedSequence([self.seed, self.epoch, int(idx), 7])
@@ -135,12 +182,15 @@ class FastBGMixLoader:
             info = self.video_infos[int(idx)]
             labels[row, 0] = info["label"]
             flip[row] = rng.random() < self.flip_ratio
+            randaug_keys[row] = rng.integers(0, 2**32, size=2, dtype=np.uint32)
 
             # bgmix decision (mutex with randAug; comix_loader.py:110-123)
             if self.with_randaug_mutex and self.randaug_prob >= 0:
                 randaug_fires = rng.random() < self.randaug_prob
+                apply_randaug[row] = randaug_fires
                 apply_bgmix[row] = not randaug_fires
             else:
+                apply_randaug[row] = 0 <= self.randaug_prob and rng.random() < self.randaug_prob
                 apply_bgmix[row] = rng.random() < self.bgmix_prob
 
             # whole-clip-consistent crop geometry (MultiScaleCrop semantics)
@@ -204,6 +254,8 @@ class FastBGMixLoader:
             "imgs_u8": imgs.reshape(b, t, crop, crop, 3),
             "bg_u8": bg,
             "apply_bgmix": apply_bgmix,
+            "apply_randaug": apply_randaug,
+            "randaug_key": randaug_keys,
             "flip": flip,
             "label": labels,
         }

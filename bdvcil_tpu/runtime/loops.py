@@ -53,9 +53,7 @@ def train_epochs(
         loader.set_epoch(epoch)
         for batch in loader:
             if "imgs_u8" in batch:  # fast uint8 path (data/device_pipeline.py)
-                imgs = {
-                    k: batch[k] for k in ("imgs_u8", "bg_u8", "apply_bgmix", "flip")
-                }
+                imgs = {k: v for k, v in batch.items() if k != "label"}
             else:
                 imgs = batch["imgs"]
             labels = batch["label"]

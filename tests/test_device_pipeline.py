@@ -112,3 +112,24 @@ def test_fast_path_train_step(fast_env):
     imgs = {k: batch[k] for k in ("imgs_u8", "bg_u8", "apply_bgmix", "flip")}
     state, metrics = step(state, None, imgs, batch["label"], {}, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+@needs_native
+def test_fast_path_with_device_randaug(fast_env):
+    from bdvcil_tpu.data.device_pipeline import make_fast_input_fn
+
+    ds, bg_files = fast_env
+    loader = FastBGMixLoader(
+        ds.video_infos, bg_files, batch_size=4, num_segments=4, crop_size=64,
+        randaug_prob=0.75, seed=1,
+    )
+    batch = next(iter(loader))
+    assert "randaug_key" in batch and batch["apply_randaug"].dtype == bool
+    # mutex invariant: randaug XOR bgmix per sample
+    assert np.all(batch["apply_randaug"] != batch["apply_bgmix"])
+
+    input_fn = make_fast_input_fn(alpha=0.5, with_randaug=True)
+    imgs = {k: jnp.asarray(v) for k, v in batch.items() if k != "label"}
+    out = np.asarray(input_fn(imgs))
+    assert out.shape == (4, 4, 64, 64, 3)
+    assert np.isfinite(out).all()
