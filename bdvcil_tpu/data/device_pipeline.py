@@ -184,13 +184,15 @@ class FastBGMixLoader:
             flip[row] = rng.random() < self.flip_ratio
             randaug_keys[row] = rng.integers(0, 2**32, size=2, dtype=np.uint32)
 
-            # bgmix decision (mutex with randAug; comix_loader.py:110-123)
-            if self.with_randaug_mutex and self.randaug_prob >= 0:
-                randaug_fires = rng.random() < self.randaug_prob
+            # bgmix decision (mutex with randAug; comix_loader.py:110-123):
+            # randaug_prob < 0 -> randAug never fires -> bgmix always;
+            # randaug_prob >= 1 -> randAug always -> bgmix never
+            if self.with_randaug_mutex:
+                randaug_fires = self.randaug_prob >= 0 and rng.random() < self.randaug_prob
                 apply_randaug[row] = randaug_fires
                 apply_bgmix[row] = not randaug_fires
             else:
-                apply_randaug[row] = 0 <= self.randaug_prob and rng.random() < self.randaug_prob
+                apply_randaug[row] = self.randaug_prob >= 0 and rng.random() < self.randaug_prob
                 apply_bgmix[row] = rng.random() < self.bgmix_prob
 
             # whole-clip-consistent crop geometry (MultiScaleCrop semantics)

@@ -39,3 +39,29 @@ def load_checkpoint(path: str | pathlib.Path) -> Tuple[Dict[str, Any], Optional[
     meta_path = path.with_suffix(".json")
     meta = json.loads(meta_path.read_text()) if meta_path.exists() else None
     return variables, meta
+
+
+# -- orbax backend (optional; SURVEY.md §5 "orbax per-task checkpoints") ----
+
+
+def save_checkpoint_orbax(directory: str | pathlib.Path, variables: Dict[str, Any]) -> None:
+    """Directory-format orbax checkpoint (async-capable, sharding-aware) —
+    preferable for multi-host runs where every process writes its shards."""
+    import orbax.checkpoint as ocp
+
+    directory = pathlib.Path(directory).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            directory,
+            {"params": _to_host(variables["params"]),
+             "batch_stats": _to_host(variables.get("batch_stats", {}))},
+            force=True,
+        )
+
+
+def load_checkpoint_orbax(directory: str | pathlib.Path) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    directory = pathlib.Path(directory).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(directory)

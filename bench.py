@@ -25,6 +25,58 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_CLIPS_PER_SEC_PER_CHIP = 15.0
 
 
+def bench_input():
+    """BENCH_MODE=input — native C++ decode path vs the cv2 host pipeline on
+    synthetic JPEGs (the reference's per-sample CPU chain is the bottleneck
+    its dataloader workers hide behind process parallelism; SURVEY.md §3.3)."""
+    import pathlib
+    import tempfile
+    import time
+
+    import cv2
+    import numpy as np
+
+    from bdvcil_tpu.data import native
+
+    n = int(os.environ.get("BENCH_INPUT_FRAMES", "256"))
+    tmp = pathlib.Path(tempfile.mkdtemp(prefix="bdvc_bench_"))
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(n):
+        img = rng.integers(0, 255, size=(240, 320, 3)).astype(np.uint8)
+        p = tmp / f"f{i:05d}.jpg"
+        cv2.imwrite(str(p), img, [cv2.IMWRITE_JPEG_QUALITY, 90])
+        paths.append(str(p))
+
+    # cv2 reference chain: decode -> short-side 256 resize -> center crop 224
+    t0 = time.perf_counter()
+    for p in paths:
+        img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+        h, w = img.shape[:2]
+        f = 256 / min(h, w)
+        img = cv2.resize(img, (int(w * f + 0.5), int(h * f + 0.5)))
+        hh, ww = img.shape[:2]
+        y, x = (hh - 224) // 2, (ww - 224) // 2
+        _ = np.ascontiguousarray(img[y : y + 224, x : x + 224])
+    cv2_rate = n / (time.perf_counter() - t0)
+
+    native.decode_resize_crop_batch(paths[:8], 256, 224, 224)  # warm
+    t0 = time.perf_counter()
+    native.decode_resize_crop_batch(paths, 256, 224, 224)
+    native_rate = n / (time.perf_counter() - t0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "native_decode_frames_per_sec",
+                "value": round(native_rate, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(native_rate / cv2_rate, 2),
+            }
+        )
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -103,4 +155,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE", "train") == "input":
+        bench_input()
+    else:
+        main()

@@ -159,3 +159,16 @@ def test_checkpoint_roundtrip(tmp_path):
     a = eval_step(variables, imgs)["cls_score"]
     b = eval_step({"params": restored["params"], "batch_stats": restored["batch_stats"]}, imgs)["cls_score"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from bdvcil_tpu.runtime.checkpoint import load_checkpoint_orbax, save_checkpoint_orbax
+
+    spec, variables, tx, state = _setup()
+    d = tmp_path / "orbax_ckpt"
+    save_checkpoint_orbax(d, variables)
+    restored = load_checkpoint_orbax(d)
+    np.testing.assert_array_equal(
+        np.asarray(variables["params"]["head"]["fc_weights"]),
+        np.asarray(restored["params"]["head"]["fc_weights"]),
+    )
