@@ -195,8 +195,18 @@ class CILTrainer:
         dm.reload_train_dataset(use_internal_exemplar=True)
 
     # -- inference helpers ------------------------------------------------
+    def _eval_step(self, num_classes: int):
+        """Cache jitted eval steps per classifier width — a fresh make_eval_step
+        would recompile on every predict call."""
+        cache = getattr(self, "_eval_step_cache", None)
+        if cache is None:
+            cache = self._eval_step_cache = {}
+        if num_classes not in cache:
+            cache[num_classes] = make_eval_step(self.spec, num_classes)
+        return cache[num_classes]
+
     def _predict(self, loader, num_classes: int, extract_repr: bool = False) -> Dict[str, np.ndarray]:
-        eval_step = make_eval_step(self.spec, num_classes)
+        eval_step = self._eval_step(num_classes)
         return run_inference(
             eval_step,
             self.variables,

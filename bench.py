@@ -77,6 +77,111 @@ def bench_input():
     )
 
 
+def bench_train_e2e():
+    """BENCH_MODE=train_e2e — end-to-end training throughput including the
+    input pipeline: synthetic UCF-101-shaped rawframes -> native C++ decode ->
+    device-fused RandAugment/normalize/bgmix -> TSM-R50 train step."""
+    import pathlib
+    import time
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bdvcil_tpu.data.datasets import bg_extraction_tmf
+    from bdvcil_tpu.data.device_pipeline import FastBGMixLoader, make_fast_input_fn
+    from bdvcil_tpu.models import build_model, init_model_params
+    from bdvcil_tpu.optim import build_optimizer
+    from bdvcil_tpu.runtime import TrainState, make_train_step
+
+    num_segments = 8
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    num_videos = int(os.environ.get("BENCH_VIDEOS", "64"))
+    frames_per_video = 16
+
+    root = pathlib.Path("/tmp/bdvc_bench_data")
+    marker = root / f".ok_{num_videos}"
+    if not marker.exists():
+        rng = np.random.default_rng(0)
+        bg_dir = root / "bg"
+        bg_dir.mkdir(parents=True, exist_ok=True)
+        infos = []
+        for v in range(num_videos):
+            vdir = root / "rawframes" / f"v{v:04d}"
+            vdir.mkdir(parents=True, exist_ok=True)
+            base = rng.integers(0, 200, 3)
+            for t in range(1, frames_per_video + 1):
+                img = np.clip(base + rng.integers(0, 55, (240, 320, 3)), 0, 255).astype(np.uint8)
+                cv2.imwrite(str(vdir / f"img_{t:05d}.jpg"), img)
+            bg_extraction_tmf(vdir, bg_dir / f"v{v:04d}.jpg")
+        marker.touch()
+    video_infos = [
+        dict(frame_dir=str(root / "rawframes" / f"v{v:04d}"), total_frames=frames_per_video, label=v % 51)
+        for v in range(num_videos)
+    ]
+    bg_files = sorted(str(p) for p in (root / "bg").glob("*.jpg"))
+
+    model_cfg = dict(
+        type="CILRecognizer2D",
+        backbone=dict(type="ResNetTSM", depth=50, num_segments=num_segments, shift_div=8),
+        cls_head=dict(
+            type="IncrementalTSMHead",
+            num_classes=51,
+            in_channels=2048,
+            inc_head_config=dict(type="LocalSimilarityClassifier", out_features=51, nb_proxies=1),
+            num_segments=num_segments,
+            loss_cls=dict(type="LSCLoss"),
+            dropout_ratio=0.5,
+        ),
+        test_cfg=dict(average_clips="prob"),
+    )
+    spec = build_model(model_cfg, dtype=jnp.bfloat16)
+    variables = init_model_params(spec, jax.random.PRNGKey(0), (1, num_segments, 224, 224, 3))
+    tx = build_optimizer(
+        variables["params"],
+        dict(type="SGD", paramwise_cfg=dict(fc_lr_scale_factor=5.0), lr=0.01,
+             momentum=0.9, weight_decay=1e-4),
+        steps_per_epoch=100,
+    )
+    input_fn = make_fast_input_fn(alpha=0.5, with_randaug=True, dtype=jnp.bfloat16)
+    step = make_train_step(spec, tx, num_classes=51, method="base", input_fn=input_fn)
+    state = TrainState.create(variables, tx)
+
+    loader = FastBGMixLoader(
+        video_infos, bg_files, batch_size=batch, num_segments=num_segments,
+        randaug_prob=0.75, seed=0, drop_last=True, prefetch=2,
+    )
+    key = jax.random.PRNGKey(0)
+
+    def run_epoch():
+        nonlocal state, key
+        n = 0
+        for b in loader:
+            imgs = {k: v for k, v in b.items() if k != "label"}
+            key, sk = jax.random.split(key)
+            state, metrics = step(state, None, imgs, b["label"], {}, sk)
+            n += batch
+        jax.block_until_ready(state.params)
+        return n
+
+    run_epoch()  # warm (compile)
+    t0 = time.perf_counter()
+    clips = run_epoch() + run_epoch()
+    dt = time.perf_counter() - t0
+    rate = clips / dt / max(1, jax.device_count())
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_train_clips_per_sec_per_chip_tsm_r50_8x224",
+                "value": round(rate, 2),
+                "unit": "clips/s/chip",
+                "vs_baseline": round(rate / BASELINE_CLIPS_PER_SEC_PER_CHIP, 2),
+            }
+        )
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -155,7 +260,10 @@ def main():
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_MODE", "train") == "input":
+    mode = os.environ.get("BENCH_MODE", "train")
+    if mode == "input":
         bench_input()
+    elif mode == "train_e2e":
+        bench_train_e2e()
     else:
         main()
