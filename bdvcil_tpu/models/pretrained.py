@@ -94,6 +94,49 @@ def load_checkpoint_file(path: str) -> Dict[str, Any]:
     return {k: _to_numpy(v) for k, v in obj.items()}
 
 
+def load_reference_cil_checkpoint(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert a reference CIL checkpoint (torch state_dict of
+    ``CILRecognizer2D``: mmaction2 ResNetTSM backbone + IncrementalTSMHead)
+    into this framework's {'params', 'batch_stats'} variables.
+
+    Key shape of the reference checkpoints (ckpt_task_{t}.pt, cil.py:833-837):
+      backbone.conv1.weight / backbone.bn1.* / backbone.layerL.B.convN.net.weight
+      (TemporalShift wraps each block's conv1 as ``.net``) /
+      backbone.layerL.B.downsample.{0,1}.* /
+      cls_head.fc_cls.weights (LSC) or cls_head.fc_cls.{weight,bias} (linear) /
+      cls_head.loss_cls.eta (learnable NCA temperature)
+    """
+    if "state_dict" in state_dict and isinstance(state_dict["state_dict"], dict):
+        state_dict = state_dict["state_dict"]
+
+    backbone_sd = {}
+    head: Dict[str, Any] = {}
+    for key, value in state_dict.items():
+        arr = _to_numpy(value)
+        if key.startswith("current_model."):
+            key = key[len("current_model.") :]
+        if key.startswith("backbone."):
+            # strip the TemporalShift wrapper scope: conv1.net.weight -> conv1.weight
+            backbone_sd[key[len("backbone.") :].replace(".net.", ".")] = arr
+        elif key.startswith("cls_head.fc_cls."):
+            leaf = key[len("cls_head.fc_cls.") :]
+            if leaf == "weights":  # LSC proxies
+                head["fc_weights"] = arr
+            elif leaf == "weight":
+                head["fc_weight"] = arr
+            elif leaf == "bias":
+                head["fc_bias"] = arr
+        elif key.endswith("loss_cls.eta") or key == "cls_head.loss_cls.eta":
+            head["eta"] = arr.reshape(1)
+        # prev_model.* and consensus buffers are ignored
+
+    bb_params, bb_stats = load_torch_resnet_backbone(backbone_sd)
+    return {
+        "params": {"backbone": bb_params, "head": head},
+        "batch_stats": {"backbone": bb_stats},
+    }
+
+
 def apply_backbone_weights(variables: Dict, params: Dict, batch_stats: Dict) -> Dict:
     """Merge converted backbone weights into recognizer variables (backbone
     lives under the 'backbone' scope)."""

@@ -6,6 +6,13 @@ from .mesh import (
     replicate,
     pad_to_multiple,
 )
+from .distributed import (
+    initialize,
+    is_primary,
+    all_gather_host,
+    sync_processes,
+    process_count,
+)
 
 __all__ = [
     "make_mesh",
@@ -14,4 +21,9 @@ __all__ = [
     "shard_batch",
     "replicate",
     "pad_to_multiple",
+    "initialize",
+    "is_primary",
+    "all_gather_host",
+    "sync_processes",
+    "process_count",
 ]

@@ -1,0 +1,74 @@
+"""Multi-host (multi-process) support.
+
+Single-host multi-chip needs nothing: one process drives all local devices
+and the SPMD partitioner handles ICI collectives. For multi-host slices
+(v5e pods), the reference's NCCL/ddp_spawn + per-rank-file gather
+(cil.py:1092-1126) maps to:
+
+  * ``initialize()``            — jax.distributed.initialize (DCN rendezvous)
+  * a global Mesh over all processes' devices (make_mesh already takes
+    jax.devices(), which is global after initialize)
+  * ``all_gather_host(x)``      — multihost_utils.process_allgather replacing
+    the per-rank prediction files
+  * ``is_primary()``            — rank-0 guard for file writes (ann files,
+    checkpoints, result tables)
+
+The per-process batch contract: each host feeds its local shard of the
+global batch; ``shard_batch`` with a global mesh handles the device_put via
+``jax.make_array_from_process_local_data``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """jax.distributed.initialize with env-var fallbacks (no-op if already
+    initialized or single-process)."""
+    if jax.process_count() > 1:
+        return
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # single-process / already initialized
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+def all_gather_host(x: Any):
+    """Gather host-local arrays from every process (replaces the reference's
+    predictions_rank_i.pt files + host merge)."""
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(x)
+
+
+def sync_processes(name: str = "barrier") -> None:
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)

@@ -1,0 +1,97 @@
+"""Weight-conversion tests: torch-style ResNet / reference CIL checkpoint keys
+-> this framework's variables, verified by running the converted model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bdvcil_tpu.models import build_model, init_model_params
+from bdvcil_tpu.models.pretrained import (
+    apply_backbone_weights,
+    load_reference_cil_checkpoint,
+    load_torch_resnet_backbone,
+)
+from tests.test_models import tiny_model_cfg, T
+
+
+def _torch_style_resnet18_sd(rng):
+    """Minimal torchvision-keyed resnet18 state dict with correct shapes."""
+    sd = {}
+
+    def conv(name, o, i, k):
+        sd[name + ".weight"] = rng.standard_normal((o, i, k, k)).astype(np.float32)
+
+    def bn(name, c):
+        sd[name + ".weight"] = rng.standard_normal(c).astype(np.float32)
+        sd[name + ".bias"] = rng.standard_normal(c).astype(np.float32)
+        sd[name + ".running_mean"] = rng.standard_normal(c).astype(np.float32)
+        sd[name + ".running_var"] = np.abs(rng.standard_normal(c)).astype(np.float32) + 0.5
+        sd[name + ".num_batches_tracked"] = np.array(7)
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    specs = [(64, 64, 2), (128, 64, 2), (256, 128, 2), (512, 256, 2)]
+    for stage, (planes, inplanes, blocks) in enumerate(specs, start=1):
+        for b in range(blocks):
+            pre = f"layer{stage}.{b}"
+            cin = inplanes if b == 0 else planes
+            conv(f"{pre}.conv1", planes, cin, 3)
+            bn(f"{pre}.bn1", planes)
+            conv(f"{pre}.conv2", planes, planes, 3)
+            bn(f"{pre}.bn2", planes)
+            if b == 0 and (cin != planes or stage > 1):
+                conv(f"{pre}.downsample.0", planes, cin, 1)
+                bn(f"{pre}.downsample.1", planes)
+    sd["fc.weight"] = rng.standard_normal((1000, 512)).astype(np.float32)
+    sd["fc.bias"] = rng.standard_normal(1000).astype(np.float32)
+    return sd
+
+
+def test_torch_resnet_conversion_shapes_and_apply():
+    rng = np.random.default_rng(0)
+    sd = _torch_style_resnet18_sd(rng)
+    params, stats = load_torch_resnet_backbone(sd)
+    # conv kernels transposed OIHW -> HWIO
+    assert params["conv1"]["kernel"].shape == (7, 7, 3, 64)
+    assert params["layer2_0"]["downsample_conv"]["kernel"].shape == (1, 1, 64, 128)
+    assert stats["bn1"]["mean"].shape == (64,)
+    assert "fc" not in params
+
+    spec = build_model(tiny_model_cfg(num_classes=5))
+    variables = init_model_params(spec, jax.random.PRNGKey(0), (1, T, 32, 32, 3))
+    merged = apply_backbone_weights(variables, params, stats)
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["backbone"]["conv1"]["kernel"]),
+        np.transpose(sd["conv1.weight"], (2, 3, 1, 0)),
+    )
+    # converted weights drive the model
+    module = spec.module()
+    out = module.apply(merged, jnp.ones((1, T, 32, 32, 3)), train=False)
+    assert np.isfinite(np.asarray(out["cls_score"])).all()
+
+
+def test_reference_cil_checkpoint_conversion():
+    rng = np.random.default_rng(1)
+    sd = {}
+    # backbone keys with the TemporalShift .net wrapper on block conv1
+    base = _torch_style_resnet18_sd(rng)
+    for k, v in base.items():
+        if k.startswith("layer") and ".conv1.weight" in k:
+            k = k.replace(".conv1.weight", ".conv1.net.weight")
+        if k.startswith("fc."):
+            continue
+        sd["backbone." + k] = v
+    sd["cls_head.fc_cls.weights"] = rng.standard_normal((5, 512)).astype(np.float32)
+    sd["cls_head.loss_cls.eta"] = np.array([2.5], np.float32)
+
+    variables = load_reference_cil_checkpoint(sd)
+    assert variables["params"]["head"]["fc_weights"].shape == (5, 512)
+    assert float(variables["params"]["head"]["eta"][0]) == 2.5
+    assert variables["params"]["backbone"]["layer1_0"]["conv1"]["kernel"].shape == (3, 3, 64, 64)
+
+    # run it through the recognizer (batch_stats complete from bn keys)
+    spec = build_model(tiny_model_cfg(num_classes=5))
+    module = spec.module()
+    out = module.apply(variables, jnp.ones((1, T, 32, 32, 3)), train=False)
+    assert out["cls_score"].shape == (1, 1, 5)
