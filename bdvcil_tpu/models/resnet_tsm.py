@@ -41,6 +41,7 @@ class _BasicBlock(nn.Module):
     shift_div: int
     is_shift: bool
     dtype: Any
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -53,12 +54,12 @@ class _BasicBlock(nn.Module):
             padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv1",
         )(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=jnp.float32, name="bn1")(h)
+                         dtype=self.norm_dtype, name="bn1")(h)
         h = nn.relu(h)
         h = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype, name="conv2")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=jnp.float32, name="bn2")(h)
+                         dtype=self.norm_dtype, name="bn2")(h)
 
         if self.stride != 1 or identity.shape[-1] != self.planes:
             identity = nn.Conv(
@@ -67,7 +68,7 @@ class _BasicBlock(nn.Module):
             )(identity)
             identity = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=jnp.float32, name="downsample_bn",
+                dtype=self.norm_dtype, name="downsample_bn",
             )(identity)
         return nn.relu(h + identity.astype(h.dtype))
 
@@ -79,6 +80,7 @@ class _Bottleneck(nn.Module):
     shift_div: int
     is_shift: bool
     dtype: Any
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -89,17 +91,17 @@ class _Bottleneck(nn.Module):
             h = temporal_shift(h, self.num_segments, self.shift_div)
         h = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=jnp.float32, name="bn1")(h)
+                         dtype=self.norm_dtype, name="bn1")(h)
         h = nn.relu(h)
         # stride on the 3x3 (torch / mmaction2 'pytorch' style)
         h = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                     padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv2")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=jnp.float32, name="bn2")(h)
+                         dtype=self.norm_dtype, name="bn2")(h)
         h = nn.relu(h)
         h = nn.Conv(out_planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=jnp.float32, name="bn3")(h)
+                         dtype=self.norm_dtype, name="bn3")(h)
 
         if self.stride != 1 or identity.shape[-1] != out_planes:
             identity = nn.Conv(
@@ -108,7 +110,7 @@ class _Bottleneck(nn.Module):
             )(identity)
             identity = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=jnp.float32, name="downsample_bn",
+                dtype=self.norm_dtype, name="downsample_bn",
             )(identity)
         return nn.relu(h + identity.astype(h.dtype))
 
@@ -120,6 +122,9 @@ class ResNetTSM(nn.Module):
     is_shift: bool = True
     norm_eval: bool = False
     dtype: Any = jnp.float32
+    # batch-norm compute dtype: float32 by default for statistics accuracy;
+    # bfloat16 removes the cast fences around every conv (bench knob)
+    norm_dtype: Any = jnp.float32
     pretrained: Optional[str] = None  # recorded for config parity; loading is
     # done offline via models.pretrained.load_torch_resnet_backbone
 
@@ -134,7 +139,7 @@ class ResNetTSM(nn.Module):
         h = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=self.dtype, name="conv1")(h)
         h = nn.BatchNorm(use_running_average=not bn_train, momentum=0.9, epsilon=1e-5,
-                         dtype=jnp.float32, name="bn1")(h)
+                         dtype=self.norm_dtype, name="bn1")(h)
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -150,6 +155,7 @@ class ResNetTSM(nn.Module):
                     shift_div=self.shift_div,
                     is_shift=self.is_shift,
                     dtype=self.dtype,
+                    norm_dtype=self.norm_dtype,
                     name=f"layer{stage_idx + 1}_{block_idx}",
                 )(h, bn_train)
             feats[f"layer{stage_idx + 1}"] = h

@@ -202,9 +202,12 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "5"))
 
+    backbone = dict(type="ResNetTSM", depth=50, num_segments=num_segments, shift_div=8)
+    if os.environ.get("BENCH_NORM_DTYPE"):
+        backbone["norm_dtype"] = os.environ["BENCH_NORM_DTYPE"]
     model_cfg = dict(
         type="CILRecognizer2D",
-        backbone=dict(type="ResNetTSM", depth=50, num_segments=num_segments, shift_div=8),
+        backbone=backbone,
         cls_head=dict(
             type="IncrementalTSMHead",
             num_classes=51,
