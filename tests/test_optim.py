@@ -127,3 +127,28 @@ def test_grad_clip_and_accumulation():
     assert float(jnp.abs(u1["backbone"]["layer1_0"]["conv1"]["kernel"]).sum()) == 0.0
     u2, state = tx.update(grads, state, params)
     assert abs(float(u2["backbone"]["layer1_0"]["conv1"]["kernel"][0]) + 1.0) < 1e-6
+
+
+def test_freeze_backbone_zeroes_backbone_updates():
+    params = {
+        "backbone": {"layer1_0": {"conv1": {"kernel": jnp.ones((2, 2))}},
+                      "bn1": {"scale": jnp.ones((2,))}},
+        "head": {"fc_weights": jnp.ones((3, 2))},
+    }
+    grads = jax.tree.map(jnp.ones_like, params)
+    tx = build_optimizer(params, _cfg(lr=0.1), freeze_backbone=True)
+    state = tx.init(params)
+    u, _ = tx.update(grads, state, params)
+    assert float(jnp.abs(u["backbone"]["layer1_0"]["conv1"]["kernel"]).sum()) == 0.0
+    assert float(jnp.abs(u["backbone"]["bn1"]["scale"]).sum()) == 0.0
+    assert float(jnp.abs(u["head"]["fc_weights"]).sum()) > 0.0
+
+
+def test_legacy_fc_lr5_flag():
+    params = {"head": {"fc_weights": jnp.ones((3, 2))}}
+    grads = jax.tree.map(jnp.ones_like, params)
+    cfg = dict(type="SGD", paramwise_cfg=dict(fc_lr5=True), lr=1.0)
+    tx = build_optimizer(params, cfg)
+    state = tx.init(params)
+    u, _ = tx.update(grads, state, params)
+    assert abs(float(u["head"]["fc_weights"][0, 0]) + 5.0) < 1e-6
