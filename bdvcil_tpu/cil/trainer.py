@@ -279,7 +279,9 @@ class CILTrainer:
             method=self.method,
             task_idx=t,
             prev_num_classes=self.num_classes(t - 1) if t > 0 else 0,
-            kd_config=self._kd_config() if phase != "cbf" else None,
+            # KD applies during CBF too: the reference reuses the same
+            # training_step for both phases (cil.py:512-556, 788-795)
+            kd_config=self._kd_config(),
             video_mix=self._video_mix_cfg(),
             input_fn=input_fn,
         )

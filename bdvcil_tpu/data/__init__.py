@@ -19,6 +19,8 @@ from .datasets import (
     bg_extraction_tmf,
 )
 from .loader import DataLoader, collate
+from . import native  # noqa: F401
+from .device_pipeline import FastBGMixLoader, make_fast_input_fn
 
 __all__ = [
     "VideoRecord",
@@ -36,4 +38,6 @@ __all__ = [
     "bg_extraction_tmf",
     "DataLoader",
     "collate",
+    "FastBGMixLoader",
+    "make_fast_input_fn",
 ]

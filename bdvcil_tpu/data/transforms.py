@@ -234,6 +234,59 @@ class MultiScaleCrop:
 
 
 @PIPELINES.register_module()
+class RandomCrop:
+    """Random fixed-size crop (mmaction2 RandomCrop capability)."""
+
+    def __init__(self, size):
+        self.size = (size, size) if isinstance(size, int) else tuple(size)
+
+    def __call__(self, results: dict) -> dict:
+        rng = _rng(results)
+        img_h, img_w = results["img_shape"]
+        crop_w, crop_h = self.size[0], self.size[1] if len(self.size) > 1 else self.size[0]
+        x_offset = int(rng.integers(0, img_w - crop_w + 1))
+        y_offset = int(rng.integers(0, img_h - crop_h + 1))
+        results["imgs"] = _crop_imgs(results["imgs"], x_offset, y_offset, crop_w, crop_h)
+        if "human_mask" in results:
+            results["human_mask"] = _crop_imgs(
+                results["human_mask"], x_offset, y_offset, crop_w, crop_h
+            )
+        results["crop_bbox"] = np.array(
+            [x_offset, y_offset, x_offset + crop_w, y_offset + crop_h]
+        )
+        results["img_shape"] = (crop_h, crop_w)
+        return results
+
+
+@PIPELINES.register_module()
+class RandomResizedCrop:
+    """Random area/aspect crop (mmaction2 RandomResizedCrop capability; the
+    box-aware variant lives in data/box.py)."""
+
+    def __init__(self, area_range=(0.08, 1.0), aspect_ratio_range=(3 / 4, 4 / 3)):
+        self.area_range = area_range
+        self.aspect_ratio_range = aspect_ratio_range
+
+    def __call__(self, results: dict) -> dict:
+        from .box import RandomResizedCropWithBox
+
+        rng = _rng(results)
+        img_h, img_w = results["img_shape"]
+        left, top, right, bottom = RandomResizedCropWithBox.get_crop_bbox(
+            (img_h, img_w), self.area_range, self.aspect_ratio_range, rng
+        )
+        new_h, new_w = bottom - top, right - left
+        results["crop_bbox"] = np.array([left, top, right, bottom])
+        results["img_shape"] = (new_h, new_w)
+        results["imgs"] = [img[top:bottom, left:right] for img in results["imgs"]]
+        if "human_mask" in results:
+            results["human_mask"] = [
+                m[top:bottom, left:right] for m in results["human_mask"]
+            ]
+        return results
+
+
+@PIPELINES.register_module()
 class CenterCrop:
     def __init__(self, crop_size):
         self.crop_size = (crop_size, crop_size) if isinstance(crop_size, int) else tuple(crop_size)

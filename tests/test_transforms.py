@@ -143,3 +143,19 @@ def test_full_val_pipeline_shapes(tmp_path):
     out = pipeline(results)
     assert out["imgs"].shape == (8, 56, 56, 3)
     assert out["imgs"].dtype == np.float32
+
+
+def test_random_crop_and_random_resized_crop():
+    from bdvcil_tpu.data.transforms import RandomCrop, RandomResizedCrop
+
+    clip = _clip(h=256, w=341)
+    out = RandomCrop(224)(clip)
+    assert out["img_shape"] == (224, 224)
+    x0, y0, x1, y1 = out["crop_bbox"]
+    assert 0 <= x0 and x1 <= 341 and 0 <= y0 and y1 <= 256
+
+    clip = _clip(h=256, w=341)
+    out = RandomResizedCrop()(clip)
+    ch, cw = out["img_shape"]
+    assert 0 < ch <= 256 and 0 < cw <= 341
+    assert out["imgs"][0].shape[:2] == (ch, cw)
