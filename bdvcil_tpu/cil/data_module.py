@@ -228,7 +228,51 @@ class CILDataModule:
                 dataset = self.merge_dataset(dataset, ds_)
         return dataset
 
-    def _eval_loader(self, dataset) -> DataLoader:
+    @staticmethod
+    def _fast_eval_params(pipeline_cfg) -> Optional[Tuple[int, int, int]]:
+        """(num_segments, short_side, crop) when the pipeline is the standard
+        test-mode SampleFrames -> Resize(-1, S) -> CenterCrop(c) chain; else
+        None (e.g. TenCrop test pipelines stay on the host path)."""
+        num_segments = short_side = crop = None
+        for op in pipeline_cfg:
+            t = op.get("type")
+            if t == "SampleFrames":
+                if not op.get("test_mode", False) or op.get("clip_len", 1) != 1:
+                    return None
+                num_segments = op.get("num_clips", 1)
+            elif t == "Resize":
+                scale = op.get("scale")
+                if isinstance(scale, (tuple, list)) and -1 in scale:
+                    short_side = max(scale)
+            elif t == "CenterCrop":
+                crop = op.get("crop_size")
+                crop = crop[0] if isinstance(crop, (tuple, list)) else crop
+            elif t in ("TenCrop", "ThreeCrop", "FiveCrop", "MultiScaleCrop", "RandAugment", "Flip"):
+                return None
+        if None in (num_segments, short_side, crop):
+            return None
+        return num_segments, short_side, crop
+
+    def _eval_loader(self, dataset, pipeline_cfg=None):
+        if (
+            pipeline_cfg is not None
+            and self.config.get("use_fast_input_pipeline", False)
+        ):
+            from ..data import native
+            from ..data.device_pipeline import FastEvalLoader
+
+            params = self._fast_eval_params(pipeline_cfg)
+            if params is not None and native.available() and len(dataset) > 0:
+                num_segments, short_side, crop = params
+                return FastEvalLoader(
+                    dataset.video_infos,
+                    batch_size=self.test_batch_size,
+                    num_segments=num_segments,
+                    crop_size=crop,
+                    short_side=short_side,
+                    filename_tmpl=dataset.filename_tmpl,
+                    start_index=dataset.start_index,
+                )
         return DataLoader(
             dataset,
             batch_size=self.test_batch_size,
@@ -238,16 +282,26 @@ class CILDataModule:
         )
 
     def get_val_dataloader(self, task_indices) -> DataLoader:
-        return self._eval_loader(self.get_test_dataset(task_indices, "val"))
+        return self._eval_loader(
+            self.get_test_dataset(task_indices, "val"), self.config.data.val.get("pipeline")
+        )
 
     def get_test_dataloader(self, task_indices) -> DataLoader:
-        return self._eval_loader(self.get_test_dataset(task_indices, "test"))
+        return self._eval_loader(
+            self.get_test_dataset(task_indices, "test"), self.config.data.test.get("pipeline")
+        )
 
-    def features_extraction_dataloader_on_train_dataset(self, task_idx: int) -> DataLoader:
+    def features_extraction_dataloader_on_train_dataset(self, task_idx: int):
         self.features_extraction_dataset = self._build(
             self.config.data.features_extraction,
             self.task_splits_ann_files["train"][task_idx],
         )
+        fast = self._eval_loader(
+            self.features_extraction_dataset,
+            self.config.data.features_extraction.get("pipeline"),
+        )
+        if not isinstance(fast, DataLoader):
+            return fast
         return DataLoader(
             self.features_extraction_dataset,
             batch_size=self.batch_size,

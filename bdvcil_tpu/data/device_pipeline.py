@@ -105,6 +105,92 @@ def make_fast_input_fn(
     return input_fn
 
 
+class FastEvalLoader:
+    """Deterministic uint8 eval batches via the native decoder.
+
+    Covers the standard validation / feature-extraction pipeline shape
+    (SampleFrames test-mode -> decode -> Resize(-1, S) -> CenterCrop(c) ->
+    Normalize -> NHWC): host does decode+resize+center-crop to uint8, the
+    eval step normalizes on device (make_eval_step handles uint8 inputs).
+    Emits {'imgs': (B, T, c, c, 3) u8, 'label': (B, 1)} in dataset order.
+    """
+
+    def __init__(
+        self,
+        video_infos: Sequence[dict],
+        batch_size: int,
+        num_segments: int = 8,
+        crop_size: int = 224,
+        short_side: int = 256,
+        filename_tmpl: str = "img_{:05}.jpg",
+        start_index: int = 1,
+        num_threads: int = 0,
+        prefetch: int = 2,
+    ):
+        if not native.available():
+            raise RuntimeError("native decoder unavailable; use the standard DataLoader")
+        self.video_infos = list(video_infos)
+        self.batch_size = batch_size
+        self.num_segments = num_segments
+        self.crop_size = crop_size
+        self.short_side = short_side
+        self.filename_tmpl = filename_tmpl
+        self.start_index = start_index
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.sampler = SampleFrames(
+            clip_len=1, frame_interval=1, num_clips=num_segments, test_mode=True
+        )
+
+    def set_epoch(self, epoch: int) -> None:
+        pass  # deterministic
+
+    def __len__(self) -> int:
+        return -(-len(self.video_infos) // self.batch_size)
+
+    def _make_batch(self, indices) -> Dict[str, np.ndarray]:
+        t, crop = self.num_segments, self.crop_size
+        frame_paths: List[str] = []
+        labels = np.empty((len(indices), 1), np.int64)
+        for row, idx in enumerate(indices):
+            info = self.video_infos[int(idx)]
+            labels[row, 0] = info["label"]
+            frame_inds = self.sampler.sample(info["total_frames"]) + self.start_index
+            for fi in frame_inds:
+                frame_paths.append(
+                    osp.join(info["frame_dir"], self.filename_tmpl.format(int(fi)))
+                )
+        imgs = native.decode_resize_crop_batch(
+            frame_paths, short_side=self.short_side, out_h=crop, out_w=crop,
+            crops=None, num_threads=self.num_threads,
+        )
+        return {"imgs": imgs.reshape(len(indices), t, crop, crop, 3), "label": labels}
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.video_infos)
+        batches = [
+            np.arange(n)[i : i + self.batch_size] for i in range(0, n, self.batch_size)
+        ]
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for bidx in batches:
+                    q.put(self._make_batch(bidx))
+            finally:
+                q.put(stop)
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        th.join()
+
+
 class FastBGMixLoader:
     """Batched uint8 producer over a BackgroundMixDataset-shaped corpus."""
 

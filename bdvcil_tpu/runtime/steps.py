@@ -218,6 +218,12 @@ def make_eval_step(spec: ModelSpec, num_classes: int) -> Callable:
 
     @jax.jit
     def eval_step(variables, imgs):
+        if imgs.dtype == jnp.uint8:
+            # fast eval path ships raw uint8 crops (4x less PCIe traffic);
+            # normalization fuses into the first conv here
+            from ..ops.augment import normalize_batch
+
+            imgs = normalize_batch(imgs, dtype=spec.dtype)
         out = module.apply(variables, imgs, train=False)
         repr_ = out["repr"]
         repr_ = repr_ / jnp.maximum(jnp.linalg.norm(repr_, axis=-1, keepdims=True), 1e-12)

@@ -205,6 +205,8 @@ def main():
     backbone = dict(type="ResNetTSM", depth=50, num_segments=num_segments, shift_div=8)
     if os.environ.get("BENCH_NORM_DTYPE"):
         backbone["norm_dtype"] = os.environ["BENCH_NORM_DTYPE"]
+    if os.environ.get("BENCH_NO_SHIFT"):  # ablation: cost of the TSM shift
+        backbone["is_shift"] = False
     model_cfg = dict(
         type="CILRecognizer2D",
         backbone=backbone,
@@ -234,6 +236,28 @@ def main():
         dict(type="MultiStepLR", params=dict(milestones=[20, 30], gamma=0.1)),
         steps_per_epoch=100,
     )
+    if os.environ.get("BENCH_FORWARD_ONLY"):
+        from bdvcil_tpu.runtime import make_eval_step
+
+        eval_step = make_eval_step(spec, 51)
+        rng_f = np.random.default_rng(0)
+        imgs_f = jnp.asarray(
+            rng_f.standard_normal((batch, num_segments, 224, 224, 3), dtype=np.float32)
+        )
+        for _ in range(warmup):
+            out = eval_step(variables, imgs_f)
+        jax.block_until_ready(out["cls_score"])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = eval_step(variables, imgs_f)
+        jax.block_until_ready(out["cls_score"])
+        dt = time.perf_counter() - t0
+        rate = batch * steps / dt / max(1, jax.device_count())
+        print(json.dumps({"metric": "fwd_clips_per_sec_per_chip_tsm_r50_8x224",
+                          "value": round(rate, 2), "unit": "clips/s/chip",
+                          "vs_baseline": round(rate / 74.0, 2)}))
+        return
+
     step = make_train_step(spec, tx, num_classes=51, method="base", task_idx=0)
     state = TrainState.create(variables, tx)
 

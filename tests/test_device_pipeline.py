@@ -133,3 +133,62 @@ def test_fast_path_with_device_randaug(fast_env):
     out = np.asarray(input_fn(imgs))
     assert out.shape == (4, 4, 64, 64, 3)
     assert np.isfinite(out).all()
+
+
+@needs_native
+def test_fast_eval_loader_matches_host_pipeline(fast_env):
+    """FastEvalLoader (native decode, uint8) must reproduce the standard val
+    pipeline (cv2, normalized) within decoder tolerance."""
+    from bdvcil_tpu.data import DataLoader
+    from bdvcil_tpu.data.datasets import RawframeDataset
+    from bdvcil_tpu.data.device_pipeline import FastEvalLoader
+    from bdvcil_tpu.ops.augment import normalize_batch
+
+    ds, _ = fast_env
+    MEAN = [123.675, 116.28, 103.53]
+    STD = [58.395, 57.12, 57.375]
+    val_pipeline = [
+        dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=4, test_mode=True),
+        dict(type="RawFrameDecode"),
+        dict(type="Resize", scale=(-1, 256)),
+        dict(type="CenterCrop", crop_size=224),
+        dict(type="Normalize", mean=MEAN, std=STD),
+        dict(type="FormatShape", input_format="NHWC"),
+        dict(type="Collect", keys=["imgs", "label"], meta_keys=[]),
+        dict(type="ToTensor", keys=["imgs"]),
+    ]
+    host_ds = RawframeDataset(ds.ann_file, val_pipeline, data_prefix=None, test_mode=True)
+    host_ds.video_infos = ds.video_infos
+    host_batch = next(iter(DataLoader(host_ds, batch_size=4, shuffle=False)))
+
+    fast = FastEvalLoader(ds.video_infos, batch_size=4, num_segments=4, crop_size=224, short_side=256)
+    fast_batch = next(iter(fast))
+    assert fast_batch["imgs"].dtype == np.uint8
+    fast_norm = np.asarray(normalize_batch(jnp.asarray(fast_batch["imgs"])))
+
+    np.testing.assert_array_equal(host_batch["label"].reshape(-1), fast_batch["label"].reshape(-1))
+    diff = np.abs(fast_norm - host_batch["imgs"])
+    # decoder/resize rounding: bounded in normalized units (1 LSB ~ 0.018)
+    assert diff.mean() < 0.05
+    assert (diff < 0.2).mean() > 0.99
+
+
+def test_fast_eval_params_detection():
+    from bdvcil_tpu.cil.data_module import CILDataModule
+
+    good = [
+        dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8, test_mode=True),
+        dict(type="RawFrameDecode"),
+        dict(type="Resize", scale=(-1, 256)),
+        dict(type="CenterCrop", crop_size=224),
+        dict(type="Normalize", mean=[0], std=[1]),
+    ]
+    assert CILDataModule._fast_eval_params(good) == (8, 256, 224)
+
+    tencrop = list(good)
+    tencrop[3] = dict(type="TenCrop", crop_size=256)
+    assert CILDataModule._fast_eval_params(tencrop) is None
+
+    train_mode = list(good)
+    train_mode[0] = dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8)
+    assert CILDataModule._fast_eval_params(train_mode) is None
