@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.tsm_shift import temporal_shift
+from ..ops.tsm_shift import shifted_conv, temporal_shift
 
 # depth -> (block type, stage sizes, expansion)
 ARCH = {
@@ -34,6 +34,38 @@ ARCH = {
 }
 
 
+class _ShiftedConv(nn.Module):
+    """conv1 with the temporal shift folded in via conv linearity
+    (ops/tsm_shift.shifted_conv) — avoids materializing the shifted tensor.
+    Parameter layout matches nn.Conv ('kernel', HWIO) so checkpoints and
+    optimizer labels are identical across shift modes."""
+
+    features: int
+    kernel_size: tuple
+    strides: tuple
+    padding: tuple
+    num_segments: int
+    shift_div: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features),
+        )
+        return shifted_conv(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            self.num_segments,
+            self.shift_div,
+            strides=self.strides,
+            padding=self.padding,
+        )
+
+
 class _BasicBlock(nn.Module):
     planes: int
     stride: int
@@ -42,17 +74,24 @@ class _BasicBlock(nn.Module):
     is_shift: bool
     dtype: Any
     norm_dtype: Any = jnp.float32
+    shift_mode: str = "pad"
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
         h = x
-        if self.is_shift:
-            h = temporal_shift(h, self.num_segments, self.shift_div)
-        h = nn.Conv(
-            self.planes, (3, 3), strides=(self.stride, self.stride),
-            padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv1",
-        )(h)
+        if self.is_shift and self.shift_mode == "fused":
+            h = _ShiftedConv(
+                self.planes, (3, 3), (self.stride, self.stride), ((1, 1), (1, 1)),
+                self.num_segments, self.shift_div, self.dtype, name="conv1",
+            )(h)
+        else:
+            if self.is_shift:
+                h = temporal_shift(h, self.num_segments, self.shift_div)
+            h = nn.Conv(
+                self.planes, (3, 3), strides=(self.stride, self.stride),
+                padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv1",
+            )(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.norm_dtype, name="bn1")(h)
         h = nn.relu(h)
@@ -81,15 +120,22 @@ class _Bottleneck(nn.Module):
     is_shift: bool
     dtype: Any
     norm_dtype: Any = jnp.float32
+    shift_mode: str = "pad"
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
         out_planes = self.planes * 4
         h = x
-        if self.is_shift:
-            h = temporal_shift(h, self.num_segments, self.shift_div)
-        h = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(h)
+        if self.is_shift and self.shift_mode == "fused":
+            h = _ShiftedConv(
+                self.planes, (1, 1), (1, 1), ((0, 0), (0, 0)),
+                self.num_segments, self.shift_div, self.dtype, name="conv1",
+            )(h)
+        else:
+            if self.is_shift:
+                h = temporal_shift(h, self.num_segments, self.shift_div)
+            h = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.norm_dtype, name="bn1")(h)
         h = nn.relu(h)
@@ -125,6 +171,9 @@ class ResNetTSM(nn.Module):
     # batch-norm compute dtype: float32 by default for statistics accuracy;
     # bfloat16 removes the cast fences around every conv (bench knob)
     norm_dtype: Any = jnp.float32
+    # 'pad' materializes the shifted tensor; 'fused' folds the shift into
+    # conv1 via linearity (ops/tsm_shift.shifted_conv)
+    shift_mode: str = "pad"
     pretrained: Optional[str] = None  # recorded for config parity; loading is
     # done offline via models.pretrained.load_torch_resnet_backbone
 
@@ -156,6 +205,7 @@ class ResNetTSM(nn.Module):
                     is_shift=self.is_shift,
                     dtype=self.dtype,
                     norm_dtype=self.norm_dtype,
+                    shift_mode=self.shift_mode,
                     name=f"layer{stage_idx + 1}_{block_idx}",
                 )(h, bn_train)
             feats[f"layer{stage_idx + 1}"] = h

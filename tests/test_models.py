@@ -155,3 +155,30 @@ def test_batch_stats_update_in_train_mode():
     before = np.asarray(variables["batch_stats"]["backbone"]["bn1"]["mean"])
     after = np.asarray(mutated["batch_stats"]["backbone"]["bn1"]["mean"])
     assert not np.array_equal(before, after)
+
+
+def test_fused_shift_matches_pad_shift():
+    """shift_mode='fused' (conv-linearity decomposition) must equal the
+    materialized-shift path numerically, fwd and grad."""
+    from bdvcil_tpu.models.resnet_tsm import ResNetTSM
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2 * T, 32, 32, 3))
+    pad = ResNetTSM(depth=18, num_segments=T, shift_mode="pad")
+    fused = ResNetTSM(depth=18, num_segments=T, shift_mode="fused")
+    variables = pad.init(jax.random.PRNGKey(1), x, train=False)
+    # identical param trees: fused reuses the same 'conv1/kernel' layout
+    out_pad = pad.apply(variables, x, train=False)["out"]
+    out_fused = fused.apply(variables, x, train=False)["out"]
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_pad), rtol=2e-4, atol=2e-4)
+
+    def loss_pad(p):
+        return jnp.sum(pad.apply({**variables, "params": p}, x, train=False)["out"] ** 2)
+
+    def loss_fused(p):
+        return jnp.sum(fused.apply({**variables, "params": p}, x, train=False)["out"] ** 2)
+
+    g1 = jax.grad(loss_pad)(variables["params"])
+    g2 = jax.grad(loss_fused)(variables["params"])
+    k1 = np.asarray(g1["layer2_0"]["conv1"]["kernel"])
+    k2 = np.asarray(g2["layer2_0"]["conv1"]["kernel"])
+    np.testing.assert_allclose(k2, k1, rtol=2e-3, atol=2e-4)
