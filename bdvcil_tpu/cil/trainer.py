@@ -350,12 +350,25 @@ class CILTrainer:
             logger.info("fast input pipeline unavailable; using host pipeline")
             return None, None
 
+        # derive crop geometry from the configured train pipeline
+        crop_size = 224
+        for op in self.config.data.train.get("pipeline", []):
+            if op.get("type") == "MultiScaleCrop":
+                size = op.get("input_size", 224)
+                crop_size = size[0] if isinstance(size, (tuple, list)) else size
+            elif op.get("type") == "Resize" and not op.get("keep_ratio", True):
+                scale = op.get("scale")
+                if isinstance(scale, (tuple, list)):
+                    crop_size = int(scale[0])
+
         randaug_prob = float(self.config.get("randAug_prob", 0.75))
         loader = FastBGMixLoader(
             ds.video_infos,
             ds.bg_files,
             batch_size=self.config.videos_per_gpu,
             num_segments=self.spec.num_segments,
+            crop_size=crop_size,
+            bg_short_side=int(getattr(ds, "bg_resize", 256)),
             randaug_prob=randaug_prob,
             with_randaug_mutex=bool(getattr(ds, "with_randAug", True)),
             bgmix_prob=float(getattr(ds, "prob", 0.25)),

@@ -36,8 +36,8 @@ import numpy as np
 from .sampling import SampleFrames
 from . import native
 
-# short sides realizing MultiScaleCrop scales (1, .875, .75, .66) at crop 224
-MSC_SHORT_SIDES = (224, 256, 299, 339)
+# MultiScaleCrop scales realized via the short-side trick (see class docstring)
+MSC_SCALES = (1.0, 0.875, 0.75, 0.66)
 
 
 def _fixed_crop_offsets(rw: int, rh: int, crop: int) -> List:
@@ -235,6 +235,11 @@ class FastBGMixLoader:
         self.prefetch = prefetch
         self.epoch = 0
         self.sampler = SampleFrames(clip_len=1, frame_interval=1, num_clips=num_segments)
+        # crop 224 at short side 224/scale covers the same area fraction as
+        # MultiScaleCrop's crop of base*scale at short side 256
+        self.msc_short_sides = tuple(
+            int(round(crop_size / s)) for s in MSC_SCALES
+        )
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -282,7 +287,7 @@ class FastBGMixLoader:
                 apply_bgmix[row] = rng.random() < self.bgmix_prob
 
             # whole-clip-consistent crop geometry (MultiScaleCrop semantics)
-            short = int(MSC_SHORT_SIDES[rng.integers(len(MSC_SHORT_SIDES))])
+            short = int(self.msc_short_sides[rng.integers(len(self.msc_short_sides))])
             # resized dims (frames in one video share dims; use first frame's
             # aspect only implicitly via centered candidate offsets: the
             # native kernel clips offsets to the resized extent)

@@ -244,19 +244,19 @@ def main():
         base = jnp.asarray(
             rng_f.standard_normal((batch, num_segments, 224, 224, 3), dtype=np.float32)
         )
-        # unique input per call — the transport layer may cache identical
-        # (executable, args) requests, which would fake the timing
-        variants = [base + (j * 1e-4) for j in range(warmup + steps)]
-        jax.block_until_ready(variants[-1])
-        outs = []
-        for j in range(warmup):
-            outs.append(eval_step(variables, variants[j])["cls_score"])
-        jax.block_until_ready(outs)
+        # chain every call on the previous output: independent identical
+        # dispatches can be cached or pooled by the transport layer, which
+        # fakes the timing — a data dependency forces serial execution
+        carry = jnp.zeros(())
+        for _ in range(warmup):
+            out = eval_step(variables, base + carry * 1e-6)
+            carry = out["cls_score"].mean()
+        jax.block_until_ready(carry)
         t0 = time.perf_counter()
-        outs = []
-        for j in range(steps):
-            outs.append(eval_step(variables, variants[warmup + j])["cls_score"])
-        jax.block_until_ready(outs)
+        for _ in range(steps):
+            out = eval_step(variables, base + carry * 1e-6)
+            carry = out["cls_score"].mean()
+        jax.block_until_ready(carry)
         dt = time.perf_counter() - t0
         rate = batch * steps / dt / max(1, jax.device_count())
         print(json.dumps({"metric": "fwd_clips_per_sec_per_chip_tsm_r50_8x224",

@@ -191,3 +191,28 @@ def test_resume_from_task(cil_env, tmp_path_factory):
     assert len(trainer.data_module.exemplar_datasets) == 2
     trainer.train()
     assert (work_dir / "ckpt" / "ckpt_task_2.msgpack").exists()
+
+
+def test_cil_with_fast_input_pipeline(cil_env, tmp_path_factory):
+    """Trainer-integrated fast path: native uint8 decode + device-fused
+    RandAugment/bgmix for training, FastEvalLoader for val/feature
+    extraction."""
+    from bdvcil_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native decoder not built")
+
+    root, frames_root, train_ann, val_ann = cil_env
+    work_dir = tmp_path_factory.mktemp("work_fast")
+    cfg = make_cil_config(
+        root, frames_root, train_ann, val_ann, work_dir,
+        ending_task=1, use_fast_input_pipeline=True, randAug_prob=0.5,
+    )
+    trainer = CILTrainer(cfg)
+    loader, input_fn = trainer._try_fast_loader()
+    assert loader is not None and input_fn is not None
+    assert loader.crop_size == 56  # derived from the configured pipeline
+    trainer.train()
+    for t in range(2):
+        assert (work_dir / "ckpt" / f"ckpt_task_{t}.msgpack").exists()
+        assert (work_dir / "exemplar" / f"exemplar_task_{t}.txt").exists()
