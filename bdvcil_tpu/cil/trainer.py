@@ -20,9 +20,8 @@ Differences from the reference that are deliberate TPU-first redesigns:
 
 from __future__ import annotations
 
-import copy
 import pathlib
-from typing import Dict, List, Optional, Sequence, Tuple, Union
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ Variants (reference config families, §2.3):
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 from .protocol import adaptive_scale_factors, task_splits_for
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import dataclasses
 import os.path as osp
 import pathlib
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, List, Sequence
 
 
 @dataclasses.dataclass(frozen=True)

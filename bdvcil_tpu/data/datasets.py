@@ -20,7 +20,7 @@ from __future__ import annotations
 import copy
 import os.path as osp
 import pathlib
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import cv2
 import numpy as np

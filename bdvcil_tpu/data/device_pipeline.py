@@ -29,7 +29,7 @@ from __future__ import annotations
 import os.path as osp
 import queue
 import threading
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Sequence
 
 import numpy as np
 

@@ -19,7 +19,7 @@ import os
 import pathlib
 import subprocess
 import threading
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -16,7 +16,7 @@ draw randomness from ``results['rng']`` (numpy Generator) when present.
 from __future__ import annotations
 
 import os.path as osp
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import cv2
 import numpy as np

@@ -20,7 +20,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .heads import IncrementalTSMHead, LSC_TYPES, update_fc
+from .heads import IncrementalTSMHead, update_fc
 from .recognizer import CILRecognizer2D
 from .resnet_tsm import ResNetTSM
 

@@ -17,8 +17,7 @@ of the public surface, so functional equivalents are provided:
 
 from __future__ import annotations
 
-import math
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -17,7 +17,7 @@ recommended on TPU); parameters and batch-norm statistics stay float32.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax

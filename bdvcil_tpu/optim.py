@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import bisect
 import math
-from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+from typing import Callable, Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

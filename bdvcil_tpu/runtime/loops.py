@@ -9,7 +9,6 @@ padding is dropped on host.
 
 from __future__ import annotations
 
-import time
 from typing import Any, Callable, Dict, List, Optional
 
 import jax

@@ -22,7 +22,6 @@ ICI collectives (gradient all-reduce, cross-replica batch-norm statistics).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional
 
 import jax

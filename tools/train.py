@@ -58,7 +58,6 @@ def main():
         cfg.seed = args.seed
 
     import jax
-    import jax.numpy as jnp
 
     from bdvcil_tpu.data import DataLoader, build_dataset
     from bdvcil_tpu.models import build_model, init_model_params
