@@ -229,11 +229,12 @@ class CILDataModule:
         return dataset
 
     @staticmethod
-    def _fast_eval_params(pipeline_cfg) -> Optional[Tuple[int, int, int]]:
-        """(num_segments, short_side, crop) when the pipeline is the standard
-        test-mode SampleFrames -> Resize(-1, S) -> CenterCrop(c) chain; else
-        None (e.g. TenCrop test pipelines stay on the host path)."""
+    def _fast_eval_params(pipeline_cfg) -> Optional[Tuple[int, int, int, bool]]:
+        """(num_segments, short_side, crop, tencrop) when the pipeline is a
+        standard test-mode chain — SampleFrames -> Resize(-1, S) ->
+        CenterCrop(c) | TenCrop(c) -> Normalize; else None."""
         num_segments = short_side = crop = None
+        tencrop = False
         for op in pipeline_cfg:
             t = op.get("type")
             if t == "SampleFrames":
@@ -244,14 +245,15 @@ class CILDataModule:
                 scale = op.get("scale")
                 if isinstance(scale, (tuple, list)) and -1 in scale:
                     short_side = max(scale)
-            elif t == "CenterCrop":
+            elif t in ("CenterCrop", "TenCrop"):
                 crop = op.get("crop_size")
                 crop = crop[0] if isinstance(crop, (tuple, list)) else crop
-            elif t in ("TenCrop", "ThreeCrop", "FiveCrop", "MultiScaleCrop", "RandAugment", "Flip"):
+                tencrop = t == "TenCrop"
+            elif t in ("ThreeCrop", "FiveCrop", "MultiScaleCrop", "RandAugment", "Flip"):
                 return None
         if None in (num_segments, short_side, crop):
             return None
-        return num_segments, short_side, crop
+        return num_segments, short_side, crop, tencrop
 
     def _eval_loader(self, dataset, pipeline_cfg=None):
         if (
@@ -263,7 +265,7 @@ class CILDataModule:
 
             params = self._fast_eval_params(pipeline_cfg)
             if params is not None and native.available() and len(dataset) > 0:
-                num_segments, short_side, crop = params
+                num_segments, short_side, crop, tencrop = params
                 return FastEvalLoader(
                     dataset.video_infos,
                     batch_size=self.test_batch_size,
@@ -272,6 +274,7 @@ class CILDataModule:
                     short_side=short_side,
                     filename_tmpl=dataset.filename_tmpl,
                     start_index=dataset.start_index,
+                    tencrop=tencrop,
                 )
         return DataLoader(
             dataset,

@@ -126,6 +126,7 @@ class FastEvalLoader:
         start_index: int = 1,
         num_threads: int = 0,
         prefetch: int = 2,
+        tencrop: bool = False,
     ):
         if not native.available():
             raise RuntimeError("native decoder unavailable; use the standard DataLoader")
@@ -138,6 +139,7 @@ class FastEvalLoader:
         self.start_index = start_index
         self.num_threads = num_threads
         self.prefetch = prefetch
+        self.tencrop = tencrop  # emit (B, T, 5, c, c, 3); flips added on-device
         self.sampler = SampleFrames(
             clip_len=1, frame_interval=1, num_clips=num_segments, test_mode=True
         )
@@ -160,6 +162,12 @@ class FastEvalLoader:
                 frame_paths.append(
                     osp.join(info["frame_dir"], self.filename_tmpl.format(int(fi)))
                 )
+        if self.tencrop:
+            imgs = native.decode_tencrop_batch(
+                frame_paths, short_side=self.short_side, crop=crop,
+                num_threads=self.num_threads,
+            )
+            return {"imgs": imgs.reshape(len(indices), t, 5, crop, crop, 3), "label": labels}
         imgs = native.decode_resize_crop_batch(
             frame_paths, short_side=self.short_side, out_h=crop, out_w=crop,
             crops=None, num_threads=self.num_threads,
@@ -173,11 +181,14 @@ class FastEvalLoader:
         ]
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        error: List[BaseException] = []
 
         def producer():
             try:
                 for bidx in batches:
                     q.put(self._make_batch(bidx))
+            except BaseException as e:  # re-raised in the consumer
+                error.append(e)
             finally:
                 q.put(stop)
 
@@ -189,6 +200,8 @@ class FastEvalLoader:
                 break
             yield item
         th.join()
+        if error:
+            raise error[0]
 
 
 class FastBGMixLoader:
@@ -367,11 +380,14 @@ class FastBGMixLoader:
         # trains on the previous one (the C++ kernel releases the GIL)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        error: List[BaseException] = []
 
         def producer():
             try:
                 for bidx in batches:
                     q.put(self._make_batch(bidx))
+            except BaseException as e:  # re-raised in the consumer
+                error.append(e)
             finally:
                 q.put(stop)
 
@@ -383,3 +399,5 @@ class FastBGMixLoader:
                 break
             yield item
         th.join()
+        if error:
+            raise error[0]

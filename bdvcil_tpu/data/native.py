@@ -77,6 +77,15 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int,
         ]
+        lib.bdvc_decode_tencrop_batch.restype = ctypes.c_int
+        lib.bdvc_decode_tencrop_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -141,6 +150,28 @@ def decode_resize_crop_batch(
         cy_ptr,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         num_threads,
+    )
+    if rc != 0:
+        raise IOError(f"decode failed for {paths[rc - 1]}")
+    return out
+
+
+def decode_tencrop_batch(
+    paths: Sequence[str], short_side: int, crop: int, num_threads: int = 0
+) -> np.ndarray:
+    """Decode each path once and emit the 5 fixed TenCrop positions:
+    (N, 5, crop, crop, 3) uint8 (flips are added on-device)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decoder unavailable")
+    n = len(paths)
+    out = np.empty((n, 5, crop, crop, 3), dtype=np.uint8)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if num_threads <= 0:
+        num_threads = min(8, os.cpu_count() or 1)
+    rc = lib.bdvc_decode_tencrop_batch(
+        c_paths, n, short_side, crop,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), num_threads,
     )
     if rc != 0:
         raise IOError(f"decode failed for {paths[rc - 1]}")

@@ -138,6 +138,23 @@ def fused_train_augment(
     return out.astype(dtype)
 
 
+def tencrop_expand(imgs: jax.Array) -> jax.Array:
+    """(B, T, 5, h, w, C) five-crop frames -> (B, 10*T, h, w, C) TenCrop.
+
+    The native decoder emits the 5 fixed positions per frame
+    (native/decoder.cpp bdvc_decode_tencrop_batch); the horizontal flips are
+    generated here on-device. Group ordering matches the reference TenCrop
+    (data/transforms.py): [p0, p0_flip, p1, p1_flip, ...], each group holding
+    its T frames consecutively so the head's per-segment consensus reshape
+    lands on crop groups.
+    """
+    b, t = imgs.shape[0], imgs.shape[1]
+    x = jnp.moveaxis(imgs, 2, 1)  # (B, 5, T, h, w, C)
+    flipped = x[:, :, :, :, ::-1, :]
+    both = jnp.stack([x, flipped], axis=2)  # (B, 5, 2, T, h, w, C)
+    return both.reshape(b, 10 * t, *imgs.shape[3:])
+
+
 def temporal_median(frames: jax.Array) -> jax.Array:
     """Median over the frame axis: (T, H, W, C) -> (H, W, C) uint8.
 

@@ -219,9 +219,12 @@ def make_eval_step(spec: ModelSpec, num_classes: int) -> Callable:
     def eval_step(variables, imgs):
         if imgs.dtype == jnp.uint8:
             # fast eval path ships raw uint8 crops (4x less PCIe traffic);
-            # normalization fuses into the first conv here
-            from ..ops.augment import normalize_batch
+            # normalization (and TenCrop flip expansion for 6-D inputs)
+            # fuses on-device
+            from ..ops.augment import normalize_batch, tencrop_expand
 
+            if imgs.ndim == 6:  # (B, T, 5, h, w, C) from the tencrop decoder
+                imgs = tencrop_expand(imgs)
             imgs = normalize_batch(imgs, dtype=spec.dtype)
         out = module.apply(variables, imgs, train=False)
         repr_ = out["repr"]

@@ -237,6 +237,10 @@ def main():
         steps_per_epoch=100,
     )
     if os.environ.get("BENCH_FORWARD_ONLY"):
+        # CAVEAT: on the tunneled single-chip dev setup the transport layer
+        # overlaps/pools forward requests, so this number can exceed what one
+        # chip can do — treat it as an upper bound. The default train metric
+        # is chained through donated state and is reliable.
         from bdvcil_tpu.runtime import make_eval_step
 
         eval_step = make_eval_step(spec, 51)

@@ -259,4 +259,68 @@ int bdvc_decode_resize_crop_batch(const char** paths, int n, int short_side,
   return failed.load();
 }
 
+// TenCrop fast path: decode+resize each image ONCE and emit the 5 fixed
+// crops (4 corners + center) of size out x out — the horizontal flips are
+// produced on-device (bdvcil_tpu/ops/augment.tencrop_expand). Output layout:
+// out[(i*5 + k) * out*out*3], k in {UL, UR, LL, LR, C} matching the
+// reference TenCrop offset order. Returns 0 or 1 + index of the first
+// failed file.
+int bdvc_decode_tencrop_batch(const char** paths, int n, int short_side,
+                              int out_size, uint8_t* out, int num_threads) {
+  if (n <= 0) return 0;
+  if (num_threads < 1) num_threads = 1;
+  if (num_threads > n) num_threads = n;
+
+  std::atomic<int> next(0);
+  std::atomic<int> failed(0);
+  const size_t frame_bytes = static_cast<size_t>(out_size) * out_size * 3;
+
+  auto worker = [&]() {
+    std::vector<uint8_t> decoded, resized;
+    while (true) {
+      const int i = next.fetch_add(1);
+      if (i >= n || failed.load() != 0) break;
+
+      int w = 0, h = 0;
+      if (!decode_jpeg_file(paths[i], decoded, w, h, short_side)) {
+        int expected = 0;
+        failed.compare_exchange_strong(expected, i + 1);
+        break;
+      }
+      const float factor = static_cast<float>(short_side) / (w < h ? w : h);
+      int rw = static_cast<int>(w * factor + 0.5f);
+      int rh = static_cast<int>(h * factor + 0.5f);
+      if (rw < out_size) rw = out_size;
+      if (rh < out_size) rh = out_size;
+      resized.resize(static_cast<size_t>(rw) * rh * 3);
+      bilinear_resize(decoded.data(), w, h, resized.data(), rw, rh);
+
+      const int w_step = (rw - out_size) / 4;
+      const int h_step = (rh - out_size) / 4;
+      const int offsets[5][2] = {
+          {0, 0},
+          {4 * w_step, 0},
+          {0, 4 * h_step},
+          {4 * w_step, 4 * h_step},
+          {2 * w_step, 2 * h_step},
+      };
+      for (int k = 0; k < 5; ++k) {
+        const int cx = offsets[k][0], cy = offsets[k][1];
+        uint8_t* dst = out + (static_cast<size_t>(i) * 5 + k) * frame_bytes;
+        for (int y = 0; y < out_size; ++y) {
+          std::memcpy(dst + static_cast<size_t>(y) * out_size * 3,
+                      resized.data() + (static_cast<size_t>(cy + y) * rw + cx) * 3,
+                      static_cast<size_t>(out_size) * 3);
+        }
+      }
+    }
+  };
+
+  std::vector<std::thread> threads;
+  threads.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return failed.load();
+}
+
 }  // extern "C"

@@ -183,12 +183,57 @@ def test_fast_eval_params_detection():
         dict(type="CenterCrop", crop_size=224),
         dict(type="Normalize", mean=[0], std=[1]),
     ]
-    assert CILDataModule._fast_eval_params(good) == (8, 256, 224)
+    assert CILDataModule._fast_eval_params(good) == (8, 256, 224, False)
 
     tencrop = list(good)
     tencrop[3] = dict(type="TenCrop", crop_size=256)
-    assert CILDataModule._fast_eval_params(tencrop) is None
+    assert CILDataModule._fast_eval_params(tencrop) == (8, 256, 256, True)
+
+    threecrop = list(good)
+    threecrop[3] = dict(type="ThreeCrop", crop_size=256)
+    assert CILDataModule._fast_eval_params(threecrop) is None
 
     train_mode = list(good)
     train_mode[0] = dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8)
     assert CILDataModule._fast_eval_params(train_mode) is None
+
+
+@needs_native
+def test_tencrop_fast_eval_matches_host(fast_env):
+    """Native tencrop decode + device flip expansion must reproduce the host
+    TenCrop pipeline within decoder tolerance."""
+    from bdvcil_tpu.data import DataLoader, native
+    from bdvcil_tpu.data.datasets import RawframeDataset
+    from bdvcil_tpu.data.device_pipeline import FastEvalLoader
+    from bdvcil_tpu.ops.augment import normalize_batch, tencrop_expand
+
+    ds, _ = fast_env
+    MEAN = [123.675, 116.28, 103.53]
+    STD = [58.395, 57.12, 57.375]
+    test_pipeline = [
+        dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=2, test_mode=True),
+        dict(type="RawFrameDecode"),
+        dict(type="Resize", scale=(-1, 256)),
+        dict(type="TenCrop", crop_size=224),
+        dict(type="Normalize", mean=MEAN, std=STD),
+        dict(type="FormatShape", input_format="NHWC"),
+        dict(type="Collect", keys=["imgs", "label"], meta_keys=[]),
+        dict(type="ToTensor", keys=["imgs"]),
+    ]
+    host_ds = RawframeDataset(ds.ann_file, test_pipeline, data_prefix=None, test_mode=True)
+    host_ds.video_infos = ds.video_infos[:2]
+    host_batch = next(iter(DataLoader(host_ds, batch_size=2, shuffle=False)))
+    assert host_batch["imgs"].shape == (2, 20, 224, 224, 3)
+
+    fast = FastEvalLoader(
+        ds.video_infos[:2], batch_size=2, num_segments=2, crop_size=224,
+        short_side=256, tencrop=True,
+    )
+    fb = next(iter(fast))
+    assert fb["imgs"].shape == (2, 2, 5, 224, 224, 3)
+    expanded = tencrop_expand(jnp.asarray(fb["imgs"]))
+    assert expanded.shape == (2, 20, 224, 224, 3)
+    fast_norm = np.asarray(normalize_batch(expanded))
+    diff = np.abs(fast_norm - host_batch["imgs"])
+    assert diff.mean() < 0.05
+    assert (diff < 0.2).mean() > 0.99
