@@ -72,6 +72,16 @@ def summarize(trace_dir: str, top: int = 30):
     if not paths:
         print("no xplane dump found under", trace_dir)
         return
+    def _shorten(name: str) -> str:
+        # collapse "%fusion.123 = bf16[...] fusion(...), kind=kLoop ..." to a
+        # category + shape hint
+        if name.startswith("%"):
+            head = name.split(" = ", 1)
+            op = head[0][1:].rstrip("0123456789.")
+            shape = head[1].split("{", 1)[0][:36] if len(head) > 1 else ""
+            return f"{op} {shape}"
+        return name[:64]
+
     for path in paths:
         space = xplane_pb2.XSpace()
         with open(path, "rb") as f:
@@ -79,23 +89,22 @@ def summarize(trace_dir: str, top: int = 30):
         for plane in space.planes:
             if "TPU" not in plane.name and "tpu" not in plane.name and "device" not in plane.name.lower():
                 continue
-            metadata = {m.id: m.name for m in plane.event_metadata.values()} if hasattr(
-                plane.event_metadata, "values"
-            ) else {k: v.name for k, v in plane.event_metadata.items()}
-            totals = collections.Counter()
-            counts = collections.Counter()
+            metadata = {k: v.name for k, v in plane.event_metadata.items()}
+            print(f"\n==== plane: {plane.name} ({path}) ====")
             for line in plane.lines:
+                totals = collections.Counter()
+                counts = collections.Counter()
+                line_span = 0.0
                 for event in line.events:
-                    name = metadata.get(event.metadata_id, str(event.metadata_id))
+                    name = _shorten(metadata.get(event.metadata_id, str(event.metadata_id)))
                     totals[name] += event.duration_ps / 1e9  # ms
                     counts[name] += 1
-            if not totals:
-                continue
-            print(f"\n== plane: {plane.name} ({path}) ==")
-            grand = sum(totals.values())
-            print(f"{'op':60s} {'ms':>10s} {'%':>6s} {'n':>6s}")
-            for name, ms in totals.most_common(top):
-                print(f"{name[:60]:60s} {ms:10.3f} {100 * ms / grand:6.2f} {counts[name]:6d}")
+                    line_span += event.duration_ps / 1e9
+                if not totals:
+                    continue
+                print(f"\n-- line: {line.name!r} (total {line_span:.1f} ms, {sum(counts.values())} events) --")
+                for name, ms in totals.most_common(top):
+                    print(f"{name[:70]:70s} {ms:9.3f} {100 * ms / line_span:6.2f}% {counts[name]:6d}")
 
 
 def main():
