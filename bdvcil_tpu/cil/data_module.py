@@ -73,6 +73,16 @@ class CILDataModule:
     def all_bg_files(self):
         return self._all_bg_files
 
+    @property
+    def world_size(self) -> int:
+        """Devices in the training mesh. The reference's videos_per_gpu is a
+        per-device batch (8-GPU runs used 12/gpu, config :8); the global batch
+        scales with the mesh the same way."""
+        controller = self.controller
+        if controller is not None and getattr(controller, "mesh", None) is not None:
+            return int(controller.mesh.devices.size)
+        return 1
+
     # -- annotation files --------------------------------------------------
     def generate_annotation_file(self) -> None:
         """Split the global train/val annotation files per task (cil.py:87-119)."""
@@ -192,13 +202,14 @@ class CILDataModule:
         return dataset
 
     # -- dataloaders -------------------------------------------------------
-    def train_dataloader(self, drop_last: bool = True) -> DataLoader:
+    def train_dataloader(self) -> DataLoader:
         return DataLoader(
             self.train_dataset,
-            batch_size=self.batch_size,
+            batch_size=self.batch_size * self.world_size,
             shuffle=True,
             num_workers=self.config.workers_per_gpu,
-            drop_last=drop_last,
+            drop_last=False,
+            pad_to_batch=True,  # static mesh-divisible shapes, masked tail
             seed=self.config.get("seed", 0),
         )
 

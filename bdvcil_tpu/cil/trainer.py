@@ -364,7 +364,7 @@ class CILTrainer:
         loader = FastBGMixLoader(
             ds.video_infos,
             ds.bg_files,
-            batch_size=self.config.videos_per_gpu,
+            batch_size=self.config.videos_per_gpu * self.data_module.world_size,
             num_segments=self.spec.num_segments,
             crop_size=crop_size,
             bg_short_side=int(getattr(ds, "bg_resize", 256)),
@@ -399,10 +399,11 @@ class CILTrainer:
 
         loader = DataLoader(
             cbf_dataset,
-            batch_size=self.config.videos_per_gpu,
+            batch_size=self.config.videos_per_gpu * self.data_module.world_size,
             shuffle=True,
             num_workers=self.config.workers_per_gpu,
-            drop_last=len(cbf_dataset) > self.config.videos_per_gpu,
+            drop_last=False,
+            pad_to_batch=True,
             seed=self.seed,
         )
         self._fit(loader, self.config.get("cbf_num_epochs_per_task", self.num_epoch_per_task), phase="cbf")

@@ -52,6 +52,7 @@ class DataLoader:
         drop_last: bool = False,
         seed: int = 0,
         prefetch_batches: int = 2,
+        pad_to_batch: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -60,6 +61,11 @@ class DataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch_batches = prefetch_batches
+        # pad the final partial batch by wrapping indices and emit a
+        # 'sample_weight' field (0 on pad rows) — keeps every sample like the
+        # reference's variable last batch while batch shapes stay static for
+        # jit and mesh-divisible for sharding
+        self.pad_to_batch = pad_to_batch
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -78,6 +84,15 @@ class DataLoader:
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
+        if self.pad_to_batch and batches and len(batches[-1]) < self.batch_size:
+            short = batches[-1]
+            pad = indices[: self.batch_size - len(short)]
+            while len(short) + len(pad) < self.batch_size:  # tiny datasets
+                pad = np.concatenate([pad, pad])[: self.batch_size - len(short)]
+            batches[-1] = np.concatenate([short, pad[: self.batch_size - len(short)]])
+            self._last_valid = len(short)
+        else:
+            self._last_valid = None
         return batches
 
     def __len__(self) -> int:
@@ -108,8 +123,16 @@ class DataLoader:
             for _ in range(ahead):
                 if not submit_next():
                     break
+            batch_idx = 0
             while not pending.empty():
                 futures = pending.get()
                 samples = [f.result() for f in futures]
                 submit_next()
-                yield collate(samples)
+                batch = collate(samples)
+                if self.pad_to_batch:
+                    weights = np.ones(len(samples), np.float32)
+                    if batch_idx == len(batches) - 1 and self._last_valid is not None:
+                        weights[self._last_valid :] = 0.0
+                    batch["sample_weight"] = weights
+                batch_idx += 1
+                yield batch

@@ -30,10 +30,25 @@ import jax
 import jax.numpy as jnp
 
 
-def cross_entropy(cls_score: jax.Array, labels: jax.Array) -> jax.Array:
+def weighted_mean(values: jax.Array, weights: Optional[jax.Array]) -> jax.Array:
+    """Mean over the batch, optionally masked by per-sample weights.
+
+    Weights of {1, 0} implement padded batches: tail batches are padded to a
+    static, mesh-divisible size and the pad rows carry weight 0 so the loss
+    matches the reference's variable last batch exactly."""
+    if weights is None:
+        return jnp.mean(values)
+    weights = weights.astype(values.dtype)
+    return jnp.sum(values * weights) / jnp.maximum(jnp.sum(weights), 1e-8)
+
+
+def cross_entropy(
+    cls_score: jax.Array, labels: jax.Array, weights: Optional[jax.Array] = None
+) -> jax.Array:
     """cls_score: (B, C) logits, labels: (B,) int."""
     logp = jax.nn.log_softmax(cls_score, axis=-1)
-    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+    per_sample = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return weighted_mean(per_sample, weights)
 
 
 def lsc_nca_loss(
@@ -44,13 +59,14 @@ def lsc_nca_loss(
     exclude_pos_denominator: bool = True,
     hinge_proxynca: bool = True,
     class_weights: Optional[jax.Array] = None,
+    sample_weights: Optional[jax.Array] = None,
 ) -> jax.Array:
     """NCA loss on cosine similarities (lsc_loss.py:30-58).
 
     similarities: (B, C); targets: (B,) int; eta: scalar/1-vec learnable.
     """
     if not exclude_pos_denominator:
-        return cross_entropy(similarities, targets)
+        return cross_entropy(similarities, targets, sample_weights)
 
     sims = eta.reshape(()) * (similarities - margin)
     sims = sims - jax.lax.stop_gradient(jnp.max(sims, axis=1, keepdims=True))
@@ -67,13 +83,15 @@ def lsc_nca_loss(
     losses = -losses
     if hinge_proxynca:
         losses = jnp.clip(losses, min=0.0)
-    return jnp.mean(losses)
+    return weighted_mean(losses, sample_weights)
 
 
-def soft_target_ce(cls_score: jax.Array, soft_targets: jax.Array) -> jax.Array:
+def soft_target_ce(
+    cls_score: jax.Array, soft_targets: jax.Array, weights: Optional[jax.Array] = None
+) -> jax.Array:
     """-mean over batch of sum_c y_c log_softmax(s)_c (icarl.py:124-125)."""
     logp = jax.nn.log_softmax(cls_score, axis=-1)
-    return -jnp.mean(jnp.sum(soft_targets * logp, axis=-1))
+    return weighted_mean(-jnp.sum(soft_targets * logp, axis=-1), weights)
 
 
 def acm_smooth_targets(
@@ -119,12 +137,14 @@ def feature_kd_loss(
     prev_num_classes: Optional[int] = None,
     exemplar_only: bool = False,
     num_segments: int = 8,
+    sample_weights: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """Per-module MSE KD with weights and adaptive scale (cil.py:524-542).
 
     When ``exemplar_only``, only samples whose label < prev_num_classes
     contribute — implemented branchlessly as a per-sample mask so the jitted
     step has a static shape (the reference indexes dynamically, cil.py:529-536).
+    ``sample_weights`` additionally masks padded batch rows.
 
     Returns {'kd_loss': total, '<module>': per-module unscaled mse, ...}.
     """
@@ -136,6 +156,9 @@ def feature_kd_loss(
         sample_mask = (labels < prev_num_classes).astype(jnp.float32)  # (B,)
     else:
         sample_mask = None
+    if sample_weights is not None:
+        w = sample_weights.astype(jnp.float32)
+        sample_mask = w if sample_mask is None else sample_mask * w
 
     for name, weight in zip(module_names, module_weights):
         cur = current_feats[name].astype(jnp.float32)

@@ -22,7 +22,9 @@ logger = get_logger("bdvcil.runtime")
 
 def _extra_fields(batch: Dict[str, Any]) -> Dict[str, Any]:
     return {
-        k: batch[k] for k in ("foreground_ratio", "background_label") if k in batch
+        k: batch[k]
+        for k in ("foreground_ratio", "background_label", "sample_weight")
+        if k in batch
     }
 
 
@@ -52,7 +54,11 @@ def train_epochs(
         loader.set_epoch(epoch)
         for batch in loader:
             if "imgs_u8" in batch:  # fast uint8 path (data/device_pipeline.py)
-                imgs = {k: v for k, v in batch.items() if k != "label"}
+                imgs = {
+                    k: v
+                    for k, v in batch.items()
+                    if k not in ("label", "sample_weight", "foreground_ratio", "background_label")
+                }
             else:
                 imgs = batch["imgs"]
             labels = batch["label"]

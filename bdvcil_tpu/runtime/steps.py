@@ -44,7 +44,9 @@ def _squeeze_labels(labels: jax.Array) -> jax.Array:
     return labels.reshape(labels.shape[0]) if labels.ndim > 1 else labels
 
 
-def _loss_cls(spec: ModelSpec, cls_score: jax.Array, labels: jax.Array, params) -> jax.Array:
+def _loss_cls(
+    spec: ModelSpec, cls_score: jax.Array, labels: jax.Array, params, sample_weights=None
+) -> jax.Array:
     loss_cfg = spec.loss_cls
     if loss_cfg.get("type") == "LSCLoss":
         from ..models.heads import head_param_path
@@ -57,8 +59,9 @@ def _loss_cls(spec: ModelSpec, cls_score: jax.Array, labels: jax.Array, params) 
             margin=loss_cfg.get("margin", 0.6),
             exclude_pos_denominator=loss_cfg.get("exclude_pos_denominator", True),
             hinge_proxynca=loss_cfg.get("hinge_proxynca", True),
+            sample_weights=sample_weights,
         )
-    return cross_entropy(cls_score, labels)
+    return cross_entropy(cls_score, labels, sample_weights)
 
 
 def make_train_step(
@@ -103,6 +106,10 @@ def make_train_step(
             # it into the normalized clip batch inside the same jit region
             imgs = input_fn(imgs)
         labels = _squeeze_labels(labels)
+        # padded tail batches carry per-sample weights (0 on pad rows) so
+        # every real sample contributes exactly like the reference's
+        # variable-size last batch
+        sample_weights = extra.get("sample_weight")
         metrics: Dict[str, jax.Array] = {}
 
         if method == "base":
@@ -114,7 +121,7 @@ def make_train_step(
                 rngs={"dropout": rng},
             )
             cls_score = out["cls_score"][:, 0, :]
-            loss_cls = _loss_cls(spec, cls_score, labels, params)
+            loss_cls = _loss_cls(spec, cls_score, labels, params, sample_weights)
             metrics["loss_cls"] = loss_cls
             total = loss_cls
 
@@ -130,6 +137,7 @@ def make_train_step(
                     prev_num_classes=prev_num_classes,
                     exemplar_only=kd_config.get("exemplar_only", False),
                     num_segments=num_segments,
+                    sample_weights=sample_weights,
                 )
                 metrics.update(kd)
                 total = total + kd["kd_loss"]
@@ -172,7 +180,7 @@ def make_train_step(
             is_old = (labels < prev_num_classes)[:, None]
             targets = jnp.where(is_old, prev_probs, targets)
 
-        loss = soft_target_ce(cls_score, targets)
+        loss = soft_target_ce(cls_score, targets, sample_weights)
         metrics["loss_cls"] = loss
         metrics["kd_loss"] = jnp.zeros(())
         return loss, (mutated["batch_stats"], metrics)

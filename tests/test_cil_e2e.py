@@ -51,7 +51,7 @@ def make_cil_config(root, frames_root, train_ann, val_ann, work_dir, **overrides
     )
     cfg = dict(
         work_dir=str(work_dir),
-        videos_per_gpu=8,
+        videos_per_gpu=1,  # global batch = 1 x 8-device test mesh
         workers_per_gpu=2,
         accumulate_grad_batches=1,
         testing_videos_per_gpu=8,
@@ -216,3 +216,21 @@ def test_cil_with_fast_input_pipeline(cil_env, tmp_path_factory):
     for t in range(2):
         assert (work_dir / "ckpt" / f"ckpt_task_{t}.msgpack").exists()
         assert (work_dir / "exemplar" / f"exemplar_task_{t}.txt").exists()
+
+
+def test_cil_with_cbf_and_save_best(cil_env, tmp_path_factory):
+    """CBF phase (frozen backbone over the small exemplar set — exercises the
+    padded-batch mask) + save-best validation checkpoints."""
+    root, frames_root, train_ann, val_ann = cil_env
+    work_dir = tmp_path_factory.mktemp("work_cbf")
+    cfg = make_cil_config(
+        root, frames_root, train_ann, val_ann, work_dir,
+        ending_task=1, use_cbf=True, save_best=True,
+    )
+    trainer = CILTrainer(cfg)
+    trainer.train()
+    for t in range(2):
+        assert (work_dir / "ckpt" / f"ckpt_task_{t}.msgpack").exists()
+    # CBF ran on the exemplar-only dataset (4 videos < global batch of 8)
+    # and the classifier is still sane after the frozen-backbone fine-tune
+    assert trainer.variables["params"]["head"]["fc_weights"].shape[0] == 3

@@ -150,3 +150,24 @@ def test_dataloader_shuffle_reproducible(tree):
     b1 = next(iter(l1))
     b2 = next(iter(l2))
     np.testing.assert_array_equal(b1["label"], b2["label"])
+
+
+def test_dataloader_pad_to_batch(tree):
+    frames_root, train_ann, _ = tree
+    ds = RawframeDataset(str(train_ann), _train_pipeline(), data_prefix=str(frames_root))
+    loader = DataLoader(ds, batch_size=4, shuffle=False, pad_to_batch=True)
+    batches = list(loader)
+    assert len(batches) == 2
+    # full batch has no zero weights; padded tail masks the wrapped rows
+    np.testing.assert_array_equal(batches[0]["sample_weight"], np.ones(4, np.float32))
+    assert batches[1]["imgs"].shape[0] == 4
+    np.testing.assert_array_equal(batches[1]["sample_weight"], [1, 1, 0, 0])
+
+
+def test_dataloader_pad_tiny_dataset(tree):
+    frames_root, train_ann, _ = tree
+    ds = RawframeDataset(str(train_ann), _train_pipeline(), data_prefix=str(frames_root))
+    loader = DataLoader(ds, batch_size=16, shuffle=False, pad_to_batch=True)  # 6 videos
+    (batch,) = list(loader)
+    assert batch["imgs"].shape[0] == 16
+    assert batch["sample_weight"].sum() == 6

@@ -118,3 +118,32 @@ def test_feature_kd_stops_gradient_to_prev():
     g = jax.grad(f)(jnp.ones((2, 2)))
     # d/dp mean((p - 2p)^2) with stop_grad on prev: 2*(p-2p)*1 / N = -2p/N... sign negative
     assert float(g.sum()) < 0
+
+
+def test_weighted_losses_ignore_pad_rows():
+    logits = jnp.array([[2.0, 1.0, 0.1], [0.5, 2.5, 0.0], [9.0, -9.0, 0.0]])
+    labels = jnp.array([0, 1, 2])
+    w = jnp.array([1.0, 1.0, 0.0])
+    want = float(cross_entropy(logits[:2], labels[:2]))
+    assert abs(float(cross_entropy(logits, labels, w)) - want) < 1e-6
+
+    onehot = jax.nn.one_hot(labels, 3)
+    want = float(soft_target_ce(logits[:2], onehot[:2]))
+    assert abs(float(soft_target_ce(logits, onehot, w)) - want) < 1e-6
+
+    sims = jnp.array([[0.9, 0.1, -0.2], [0.1, 0.8, 0.0], [0.0, 0.0, 0.99]])
+    eta = jnp.array([1.0])
+    want = float(lsc_nca_loss(sims[:2], labels[:2], eta))
+    got = float(lsc_nca_loss(sims, labels, eta, sample_weights=w))
+    # NOTE: the stability max-shift sees all rows incl. padded ones; rows are
+    # shifted identically so the weighted mean still matches
+    assert abs(got - want) < 1e-5
+
+
+def test_feature_kd_sample_weights_mask_pad():
+    cur = {"a": jnp.stack([jnp.ones((3,)), 5 * jnp.ones((3,))])}
+    prev = {"a": jnp.zeros((2, 3))}
+    out = feature_kd_loss(
+        cur, prev, ["a"], [1.0], 1.0, sample_weights=jnp.array([1.0, 0.0]), num_segments=1
+    )
+    assert abs(float(out["kd_loss"]) - 1.0) < 1e-6

@@ -29,7 +29,7 @@ def test_tools_train_single_task(tmp_path, monkeypatch):
     cfg_file = tmp_path / "cfg.py"
     cfg_file.write_text(
         f"""
-videos_per_gpu = 8
+videos_per_gpu = 1
 workers_per_gpu = 2
 total_epochs = 1
 seed = 0

@@ -83,10 +83,11 @@ def main():
     val_ds = build_dataset(dict(cfg.data.val)) if "val" in cfg.data else None
     loader = DataLoader(
         train_ds,
-        batch_size=cfg.videos_per_gpu,
+        batch_size=cfg.videos_per_gpu * max(1, jax.device_count()),
         shuffle=True,
         num_workers=cfg.get("workers_per_gpu", 4),
-        drop_last=True,
+        drop_last=False,
+        pad_to_batch=True,
         seed=seed,
     )
 
