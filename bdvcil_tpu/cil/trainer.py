@@ -414,13 +414,21 @@ class CILTrainer:
         (cil.py:872-908). Deterministic (test-mode pipeline), unshuffled."""
         dm = self.data_module
         loader = dm.features_extraction_dataloader_on_train_dataset(self._current_task)
-        pred = self._predict(loader, self.num_classes(self._current_task), extract_repr=True)
+        nc = self.num_classes(self._current_task)
 
+        # features_extraction_epochs > 1 runs the (stochastic) pipeline
+        # multiple times per sample (reference collation at cil.py:893-896);
+        # with the default deterministic pipeline one pass suffices
         epochs = int(self.config.data.get("features_extraction_epochs", 1))
-        mean_crops_repr = pred["repr"].mean(axis=1)  # (N, C), already normalized rows
-        repr_ = mean_crops_repr.reshape(-1, epochs, mean_crops_repr.shape[-1])
-        cls_score = self._averaged_scores(pred["cls_score"])
-        cls_score = cls_score.reshape(-1, epochs, cls_score.shape[-1])
+        repr_passes, score_passes = [], []
+        for epoch in range(epochs):
+            if hasattr(loader, "set_epoch"):
+                loader.set_epoch(epoch)
+            pred = self._predict(loader, nc, extract_repr=True)
+            repr_passes.append(pred["repr"].mean(axis=1))  # (N, C) normalized rows
+            score_passes.append(self._averaged_scores(pred["cls_score"]))
+        repr_ = np.stack(repr_passes, axis=1)  # (N, epochs, C)
+        cls_score = np.stack(score_passes, axis=1)
 
         infos = dm.features_extraction_dataset.video_infos
         return {
