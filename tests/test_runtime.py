@@ -172,3 +172,24 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
         np.asarray(variables["params"]["head"]["fc_weights"]),
         np.asarray(restored["params"]["head"]["fc_weights"]),
     )
+
+
+def test_padded_batch_step_matches_unpadded_loss():
+    """A padded batch with sample weights must produce the same loss as the
+    unpadded batch (metrics path; BN stats differ by design like the
+    reference's variable last batch)."""
+    spec, variables, tx, state = _setup()
+    step = make_train_step(spec, tx, num_classes=5, method="base", donate=False)
+    imgs, labels = _batch(jax.random.PRNGKey(1), b=4)
+
+    _, m_ref = step(state, None, imgs[:2], labels[:2], {}, jax.random.PRNGKey(0))
+
+    # pad 2 -> 4 by repeating rows, mask the pads
+    padded_imgs = jnp.concatenate([imgs[:2], imgs[:2]], axis=0)
+    padded_labels = jnp.concatenate([labels[:2], labels[:2]], axis=0)
+    weights = jnp.array([1.0, 1.0, 0.0, 0.0])
+    _, m_pad = step(
+        state, None, padded_imgs, padded_labels, {"sample_weight": weights}, jax.random.PRNGKey(0)
+    )
+    # identical duplicated rows -> identical BN stats too, so loss_cls matches
+    assert abs(float(m_pad["loss_cls"]) - float(m_ref["loss_cls"])) < 5e-3
