@@ -173,6 +173,15 @@ def test_full_cil_run_and_protocol(cil_env, tmp_path_factory):
     table = (work_dir / "cnn_result.txt").read_text()
     assert "task 0" in table and "task 2" in table and "avg_acc" in table
 
+    # single-checkpoint testing at a chosen task (test_single_ckpt path)
+    cfg3 = make_cil_config(
+        root, frames_root, train_ann, val_ann, work_dir, starting_task=1, ending_task=1
+    )
+    trainer3 = CILTrainer(cfg3, dump_config=False)
+    trainer3.single_ckpt_testing(
+        str(work_dir / "ckpt" / "ckpt_task_1.msgpack"), test_nme=True
+    )
+
 
 def test_resume_from_task(cil_env, tmp_path_factory):
     root, frames_root, train_ann, val_ann = cil_env
