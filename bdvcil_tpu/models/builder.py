@@ -79,6 +79,7 @@ def build_model(cfg: Dict[str, Any], dtype: Any = jnp.float32) -> ModelSpec:
         # 205 'fused' (conv-linearity decomposition, ops/tsm_shift.shifted_conv)
         # vs 316 no-shift ablation — XLA already overlaps the shift copies well
         shift_mode=b.get("shift_mode", "pad"),
+        stem_mode=b.get("stem_mode", "conv"),
         pretrained=b.get("pretrained"),
     )
     if "norm_dtype" in b:

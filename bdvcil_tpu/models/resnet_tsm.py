@@ -66,6 +66,48 @@ class _ShiftedConv(nn.Module):
         )
 
 
+class _S2DStem(nn.Module):
+    """Space-to-depth stem: the 7x7/s2 conv on C=3 input is MXU-hostile
+    (3 input channels waste systolic-array lanes). Transform the input with a
+    2x2 space-to-depth (224^2x3 -> 112^2x12) and apply an exactly equivalent
+    4x4/s1 convolution with rearranged weights (MLPerf-ResNet trick).
+
+    The parameter keeps nn.Conv's layout ('kernel', (7, 7, 3, 64) HWIO) so
+    checkpoints/optimizer labels are identical to the plain stem; the weight
+    rearrangement is a jit-time constant fold. Equivalence:
+      y[j] = sum_t w[t] x[2j + t - 3]  ==  sum_{u,p} w[2u + p + 3] xt[j+u, p]
+    with u in [-2, 1], p in {0, 1}  =>  4 taps, padding (2, 1).
+    """
+
+    features: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, 3, self.features)
+        )
+        n, h, w, c = x.shape
+        # space-to-depth, channel order (p, q, c)
+        xt = x.reshape(n, h // 2, 2, w // 2, 2, c)
+        xt = xt.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+
+        # rearranged weights: w_pad[t+1] = w[t]; wt[a, b, (p, q, c)] =
+        # w[2a + p - 1, 2b + q - 1, c]
+        w_pad = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        wt = w_pad.reshape(4, 2, 4, 2, c, self.features)
+        wt = wt.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
+
+        dn = jax.lax.conv_dimension_numbers(xt.shape, wt.shape, ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            xt.astype(self.dtype),
+            wt.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=dn,
+        )
+
+
 class _BasicBlock(nn.Module):
     planes: int
     stride: int
@@ -174,6 +216,9 @@ class ResNetTSM(nn.Module):
     # 'pad' materializes the shifted tensor; 'fused' folds the shift into
     # conv1 via linearity (ops/tsm_shift.shifted_conv)
     shift_mode: str = "pad"
+    # 'conv' = plain 7x7/s2 stem; 's2d' = exactly-equivalent space-to-depth
+    # stem (same param layout; see _S2DStem)
+    stem_mode: str = "conv"
     pretrained: Optional[str] = None  # recorded for config parity; loading is
     # done offline via models.pretrained.load_torch_resnet_backbone
 
@@ -185,8 +230,11 @@ class ResNetTSM(nn.Module):
         bn_train = train and not self.norm_eval
 
         h = x.astype(self.dtype)
-        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=self.dtype, name="conv1")(h)
+        if self.stem_mode == "s2d":
+            h = _S2DStem(64, self.dtype, name="conv1")(h)
+        else:
+            h = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                        use_bias=False, dtype=self.dtype, name="conv1")(h)
         h = nn.BatchNorm(use_running_average=not bn_train, momentum=0.9, epsilon=1e-5,
                          dtype=self.norm_dtype, name="bn1")(h)
         h = nn.relu(h)

@@ -207,6 +207,8 @@ def main():
         backbone["norm_dtype"] = os.environ["BENCH_NORM_DTYPE"]
     if os.environ.get("BENCH_NO_SHIFT"):  # ablation: cost of the TSM shift
         backbone["is_shift"] = False
+    if os.environ.get("BENCH_STEM_MODE"):  # 'conv' | 's2d'
+        backbone["stem_mode"] = os.environ["BENCH_STEM_MODE"]
     model_cfg = dict(
         type="CILRecognizer2D",
         backbone=backbone,

@@ -182,3 +182,20 @@ def test_fused_shift_matches_pad_shift():
     k1 = np.asarray(g1["layer2_0"]["conv1"]["kernel"])
     k2 = np.asarray(g2["layer2_0"]["conv1"]["kernel"])
     np.testing.assert_allclose(k2, k1, rtol=2e-3, atol=2e-4)
+
+
+def test_s2d_stem_matches_conv_stem():
+    """Space-to-depth stem must equal the plain 7x7/s2 stem numerically."""
+    from bdvcil_tpu.models.resnet_tsm import ResNetTSM
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (T, 64, 64, 3))
+    conv = ResNetTSM(depth=18, num_segments=T, stem_mode="conv")
+    s2d = ResNetTSM(depth=18, num_segments=T, stem_mode="s2d")
+    variables = conv.init(jax.random.PRNGKey(1), x, train=False)
+    # identical param layout (conv1/kernel (7,7,3,64))
+    assert variables["params"]["conv1"]["kernel"].shape == (7, 7, 3, 64)
+    out_conv = conv.apply(variables, x, train=False)["out"]
+    out_s2d = s2d.apply(variables, x, train=False)["out"]
+    np.testing.assert_allclose(
+        np.asarray(out_s2d), np.asarray(out_conv), rtol=2e-4, atol=2e-4
+    )
