@@ -243,3 +243,33 @@ def test_cil_with_cbf_and_save_best(cil_env, tmp_path_factory):
     # CBF ran on the exemplar-only dataset (4 videos < global batch of 8)
     # and the classifier is still sane after the frozen-backbone fine-tune
     assert trainer.variables["params"]["head"]["fc_weights"].shape[0] == 3
+
+
+def test_cil_icarl_method_e2e(cil_env, tmp_path_factory):
+    """iCaRL soft-target method through the full trainer (SimpleLinear head,
+    raw-score averaging, prev-model soft targets at task 1)."""
+    root, frames_root, train_ann, val_ann = cil_env
+    work_dir = tmp_path_factory.mktemp("work_icarl")
+    cfg = make_cil_config(
+        root, frames_root, train_ann, val_ann, work_dir,
+        ending_task=1, methods="icarl",
+        model=dict(
+            type="CILRecognizer2D",
+            backbone=dict(type="ResNetTSM", depth=18, num_segments=T, shift_div=8),
+            cls_head=dict(
+                type="IncrementalTSMHead",
+                num_classes=2,
+                in_channels=512,
+                inc_head_config=dict(type="SimpleLinear", out_features=2),
+                num_segments=T,
+                loss_cls=dict(type="CrossEntropyLoss"),
+                dropout_ratio=0.5,
+            ),
+            test_cfg=dict(average_clips="prob"),
+        ),
+    )
+    trainer = CILTrainer(cfg)
+    assert trainer.spec.average_clips == "score"  # forced for icarl (icarl.py:34)
+    trainer.train()
+    assert (work_dir / "ckpt" / "ckpt_task_1.msgpack").exists()
+    assert trainer.variables["params"]["head"]["fc_weight"].shape[0] == 3
