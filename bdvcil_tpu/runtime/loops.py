@@ -50,6 +50,8 @@ def train_epochs(
     meter = Throughput(warmup=2)
     step = 0
     last_metrics: Dict[str, float] = {}
+    pending_metrics = None  # device arrays from the previous log step: reading
+    # them one interval later avoids stalling the dispatch pipeline on a sync
     for epoch in range(num_epochs):
         loader.set_epoch(epoch)
         for batch in loader:
@@ -77,25 +79,29 @@ def train_epochs(
             meter.tick(labels.shape[0])
             step += 1
             if step % log_every_n_steps == 0:
-                last_metrics = {k: float(v) for k, v in metrics.items()}
-                payload = {
-                    f"[{phase}_Task_{task_idx}]{k}": v for k, v in last_metrics.items()
-                }
-                payload["clips_per_sec"] = meter.rate
-                if metric_logger is not None:
-                    metric_logger.log(payload, step=step)
-                logger.info(
-                    "task %d %s epoch %d step %d loss=%.4f kd=%.4f clips/s=%.1f",
-                    task_idx,
-                    phase,
-                    epoch,
-                    step,
-                    last_metrics.get("loss", float("nan")),
-                    last_metrics.get("kd_loss", 0.0),
-                    meter.rate,
-                )
+                if pending_metrics is not None:
+                    last_metrics = {k: float(v) for k, v in pending_metrics.items()}
+                    payload = {
+                        f"[{phase}_Task_{task_idx}]{k}": v for k, v in last_metrics.items()
+                    }
+                    payload["clips_per_sec"] = meter.rate
+                    if metric_logger is not None:
+                        metric_logger.log(payload, step=step)
+                    logger.info(
+                        "task %d %s epoch %d step %d loss=%.4f kd=%.4f clips/s=%.1f",
+                        task_idx,
+                        phase,
+                        epoch,
+                        step,
+                        last_metrics.get("loss", float("nan")),
+                        last_metrics.get("kd_loss", 0.0),
+                        meter.rate,
+                    )
+                pending_metrics = metrics
         if epoch_hook is not None:
             epoch_hook(epoch, state)
+    if pending_metrics is not None:
+        last_metrics = {k: float(v) for k, v in pending_metrics.items()}
     return state, last_metrics
 
 
