@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.tsm_shift import shifted_conv, temporal_shift
+from ..ops.tsm_shift import fused_residual_relu_shift, shifted_conv, temporal_shift
 
 # depth -> (block type, stage sizes, expansion)
 ARCH = {
@@ -119,15 +119,22 @@ class _BasicBlock(nn.Module):
     shift_mode: str = "pad"
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, x_shifted=None):
+        fused_block = self.is_shift and self.shift_mode == "fused_block"
         identity = x
-        h = x
-        if self.is_shift and self.shift_mode == "fused":
+        if fused_block:
+            h = x_shifted  # producer block emitted shift(x) already
+            h = nn.Conv(
+                self.planes, (3, 3), strides=(self.stride, self.stride),
+                padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv1",
+            )(h)
+        elif self.is_shift and self.shift_mode == "fused":
             h = _ShiftedConv(
                 self.planes, (3, 3), (self.stride, self.stride), ((1, 1), (1, 1)),
                 self.num_segments, self.shift_div, self.dtype, name="conv1",
-            )(h)
+            )(x)
         else:
+            h = x
             if self.is_shift:
                 h = temporal_shift(h, self.num_segments, self.shift_div)
             h = nn.Conv(
@@ -151,6 +158,11 @@ class _BasicBlock(nn.Module):
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.norm_dtype, name="downsample_bn",
             )(identity)
+        if fused_block:
+            return fused_residual_relu_shift(
+                h, identity.astype(h.dtype), self.num_segments, self.shift_div,
+                jax.default_backend() == "cpu",
+            )
         return nn.relu(h + identity.astype(h.dtype))
 
 
@@ -165,16 +177,19 @@ class _Bottleneck(nn.Module):
     shift_mode: str = "pad"
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, x_shifted=None):
+        fused_block = self.is_shift and self.shift_mode == "fused_block"
         identity = x
         out_planes = self.planes * 4
-        h = x
-        if self.is_shift and self.shift_mode == "fused":
+        if fused_block:
+            h = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x_shifted)
+        elif self.is_shift and self.shift_mode == "fused":
             h = _ShiftedConv(
                 self.planes, (1, 1), (1, 1), ((0, 0), (0, 0)),
                 self.num_segments, self.shift_div, self.dtype, name="conv1",
-            )(h)
+            )(x)
         else:
+            h = x
             if self.is_shift:
                 h = temporal_shift(h, self.num_segments, self.shift_div)
             h = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(h)
@@ -200,6 +215,11 @@ class _Bottleneck(nn.Module):
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.norm_dtype, name="downsample_bn",
             )(identity)
+        if fused_block:
+            return fused_residual_relu_shift(
+                h, identity.astype(h.dtype), self.num_segments, self.shift_div,
+                jax.default_backend() == "cpu",
+            )
         return nn.relu(h + identity.astype(h.dtype))
 
 
@@ -242,10 +262,16 @@ class ResNetTSM(nn.Module):
 
         feats: Dict[str, jax.Array] = {}
         planes = 64
+        fused_block = self.is_shift and self.shift_mode == "fused_block"
+        # fused_block threads shift(block output) alongside the output: each
+        # block's epilogue kernel emits its successor's shifted input
+        h_shifted = (
+            temporal_shift(h, self.num_segments, self.shift_div) if fused_block else None
+        )
         for stage_idx, num_blocks in enumerate(stage_sizes):
             for block_idx in range(num_blocks):
                 stride = 2 if (stage_idx > 0 and block_idx == 0) else 1
-                h = block_cls(
+                block = block_cls(
                     planes=planes,
                     stride=stride,
                     num_segments=self.num_segments,
@@ -255,7 +281,11 @@ class ResNetTSM(nn.Module):
                     norm_dtype=self.norm_dtype,
                     shift_mode=self.shift_mode,
                     name=f"layer{stage_idx + 1}_{block_idx}",
-                )(h, bn_train)
+                )
+                if fused_block:
+                    h, h_shifted = block(h, bn_train, h_shifted)
+                else:
+                    h = block(h, bn_train)
             feats[f"layer{stage_idx + 1}"] = h
             planes *= 2
 

@@ -110,6 +110,124 @@ def shifted_conv(
 
 
 # ---------------------------------------------------------------------------
+# Fused residual + relu + shift (Pallas, two outputs)
+# ---------------------------------------------------------------------------
+#
+# The profile (PERF_NOTES.md) shows the materialized shift costs far more than
+# its own copies: the concat breaks XLA's BN/add/relu fusion chains. This
+# kernel computes a block's epilogue and the *next* block's shifted input in
+# one VMEM pass:
+#     out     = relu(h + identity)
+#     shifted = temporal_shift(out)
+# Backward: d(h) = d(identity) = relu'(out) * (g_out + unshift(g_shifted)).
+
+
+def _tile_geometry(num_segments: int, hw: int, c: int, dtype_bytes: int, n_bufs: int):
+    budget = (10 * 1024 * 1024) // n_bufs // 2  # /2 for double buffering
+    hw_tile = max(8, min(hw, budget // max(1, num_segments * c * dtype_bytes)))
+    return hw if hw_tile >= hw else max(8, (hw_tile // 8) * 8)
+
+
+def _fused_fwd_kernel(h_ref, id_ref, out_ref, shifted_ref, *, fold: int):
+    out = jnp.maximum(h_ref[...] + id_ref[...], 0)  # (T, hw_tile, C)
+    out_ref[...] = out
+    zeros_one = jnp.zeros((1,) + out.shape[1:-1] + (fold,), out.dtype)
+    left = jnp.concatenate([out[1:, :, :fold], zeros_one], axis=0)
+    right = jnp.concatenate([zeros_one, out[:-1, :, fold : 2 * fold]], axis=0)
+    shifted_ref[...] = jnp.concatenate([left, right, out[:, :, 2 * fold :]], axis=-1)
+
+
+def _fused_bwd_kernel(out_ref, g_out_ref, g_shift_ref, g_in_ref, *, fold: int):
+    g_shift = g_shift_ref[...]
+    zeros_one = jnp.zeros((1,) + g_shift.shape[1:-1] + (fold,), g_shift.dtype)
+    # unshift: transpose of the shift
+    left = jnp.concatenate([zeros_one, g_shift[:-1, :, :fold]], axis=0)
+    right = jnp.concatenate([g_shift[1:, :, fold : 2 * fold], zeros_one], axis=0)
+    g_total = g_out_ref[...] + jnp.concatenate(
+        [left, right, g_shift[:, :, 2 * fold :]], axis=-1
+    )
+    g_in_ref[...] = jnp.where(out_ref[...] > 0, g_total, 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_residual_relu_shift(
+    h: jax.Array,
+    identity: jax.Array,
+    num_segments: int,
+    shift_div: int = 8,
+    interpret: bool = False,
+):
+    """(out, shifted) = (relu(h + identity), temporal_shift(out)) in one pass.
+
+    h, identity: (N*T, H, W, C). Used by ResNetTSM shift_mode='fused_block'.
+    """
+    return _fused_fwd(h, identity, num_segments, shift_div, interpret)[:2]
+
+
+def _fused_fwd(h, identity, num_segments, shift_div, interpret):
+    nt, ht, w, c = h.shape
+    n = nt // num_segments
+    hw = ht * w
+    fold = c // shift_div
+    hw_tile = _tile_geometry(num_segments, hw, c, h.dtype.itemsize, n_bufs=4)
+
+    h3 = h.reshape(n, num_segments, hw, c)
+    id3 = identity.reshape(n, num_segments, hw, c)
+    spec = lambda: pl.BlockSpec(  # noqa: E731
+        (None, num_segments, hw_tile, c), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM
+    )
+    out, shifted = pl.pallas_call(
+        functools.partial(_fused_fwd_kernel, fold=fold),
+        grid=(n, pl.cdiv(hw, hw_tile)),
+        in_specs=[spec(), spec()],
+        out_specs=(spec(), spec()),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, num_segments, hw, c), h.dtype),
+            jax.ShapeDtypeStruct((n, num_segments, hw, c), h.dtype),
+        ),
+        interpret=interpret,
+    )(h3, id3)
+    out = out.reshape(nt, ht, w, c)
+    shifted = shifted.reshape(nt, ht, w, c)
+    return out, shifted, (out,)
+
+
+def _fused_fwd_rule(h, identity, num_segments, shift_div, interpret):
+    out, shifted, residuals = _fused_fwd(h, identity, num_segments, shift_div, interpret)
+    return (out, shifted), residuals
+
+
+def _fused_bwd_rule(num_segments, shift_div, interpret, residuals, cotangents):
+    (out,) = residuals
+    g_out, g_shifted = cotangents
+    nt, ht, w, c = out.shape
+    n = nt // num_segments
+    hw = ht * w
+    fold = c // shift_div
+    hw_tile = _tile_geometry(num_segments, hw, c, out.dtype.itemsize, n_bufs=4)
+
+    spec = lambda: pl.BlockSpec(  # noqa: E731
+        (None, num_segments, hw_tile, c), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM
+    )
+    g_in = pl.pallas_call(
+        functools.partial(_fused_bwd_kernel, fold=fold),
+        grid=(n, pl.cdiv(hw, hw_tile)),
+        in_specs=[spec(), spec(), spec()],
+        out_specs=spec(),
+        out_shape=jax.ShapeDtypeStruct((n, num_segments, hw, c), out.dtype),
+        interpret=interpret,
+    )(
+        out.reshape(n, num_segments, hw, c),
+        g_out.reshape(n, num_segments, hw, c),
+        g_shifted.reshape(n, num_segments, hw, c),
+    ).reshape(nt, ht, w, c)
+    return g_in, g_in
+
+
+fused_residual_relu_shift.defvjp(_fused_fwd_rule, _fused_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
 # Pallas kernel variant
 # ---------------------------------------------------------------------------
 

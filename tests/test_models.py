@@ -199,3 +199,31 @@ def test_s2d_stem_matches_conv_stem():
     np.testing.assert_allclose(
         np.asarray(out_s2d), np.asarray(out_conv), rtol=2e-4, atol=2e-4
     )
+
+
+def test_fused_block_shift_matches_pad():
+    """shift_mode='fused_block' (Pallas residual+relu+shift epilogue) must
+    match the materialized-shift path, forward and gradient."""
+    from bdvcil_tpu.models.resnet_tsm import ResNetTSM
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2 * T, 32, 32, 3))
+    pad = ResNetTSM(depth=18, num_segments=T, shift_mode="pad")
+    fb = ResNetTSM(depth=18, num_segments=T, shift_mode="fused_block")
+    variables = pad.init(jax.random.PRNGKey(1), x, train=False)
+    out_pad = pad.apply(variables, x, train=False)
+    out_fb = fb.apply(variables, x, train=False)
+    for tap in ("layer1", "layer4", "out"):
+        np.testing.assert_allclose(
+            np.asarray(out_fb[tap]), np.asarray(out_pad[tap]), rtol=2e-4, atol=2e-4
+        )
+
+    def loss(module, p):
+        return jnp.sum(module.apply({**variables, "params": p}, x, train=False)["out"] ** 2)
+
+    g_pad = jax.grad(lambda p: loss(pad, p))(variables["params"])
+    g_fb = jax.grad(lambda p: loss(fb, p))(variables["params"])
+    for path in (("conv1", "kernel"), ("layer2_0", "conv1", "kernel"), ("layer4_1", "conv2", "kernel")):
+        a, b = g_pad, g_fb
+        for k in path:
+            a, b = a[k], b[k]
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=3e-3, atol=3e-4)
