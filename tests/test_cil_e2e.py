@@ -273,3 +273,33 @@ def test_cil_icarl_method_e2e(cil_env, tmp_path_factory):
     trainer.train()
     assert (work_dir / "ckpt" / "ckpt_task_1.msgpack").exists()
     assert trainer.variables["params"]["head"]["fc_weight"].shape[0] == 3
+
+
+def test_bg_pool_policies_e2e(cil_env, tmp_path_factory):
+    """keep_all_backgrounds accumulates bg files across tasks into the train
+    set and the CBF dataset uses the accumulated pool (cil.py:146-172,
+    190-195); also covers resume's bg-pool restore (cil.py:690-694)."""
+    root, frames_root, train_ann, val_ann = cil_env
+    work_dir = tmp_path_factory.mktemp("work_bgpool")
+    cfg = make_cil_config(
+        root, frames_root, train_ann, val_ann, work_dir,
+        ending_task=1, use_cbf=True, keep_all_backgrounds=True,
+    )
+    trainer = CILTrainer(cfg)
+    trainer.train()
+
+    # at task 1 the train dataset's bg pool includes task 0's backgrounds
+    # (task0: 8 train videos, task1: 4 + exemplar replay)
+    dm = trainer.data_module
+    assert len(dm.all_bg_files) >= 8
+    assert set(dm.train_dataset.bg_files) >= dm.all_bg_files or len(
+        dm.train_dataset.bg_files
+    ) == len(dm.all_bg_files)
+
+    # resume path restores the pool from earlier tasks' datasets
+    cfg2 = make_cil_config(
+        root, frames_root, train_ann, val_ann, work_dir,
+        starting_task=1, ending_task=1, use_cbf=True, keep_all_backgrounds=True,
+    )
+    trainer2 = CILTrainer(cfg2, dump_config=False)
+    assert len(trainer2.data_module.all_bg_files) >= 8

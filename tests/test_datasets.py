@@ -171,3 +171,32 @@ def test_dataloader_pad_tiny_dataset(tree):
     (batch,) = list(loader)
     assert batch["imgs"].shape[0] == 16
     assert batch["sample_weight"].sum() == 6
+
+
+def test_predefined_background_mode(tree, tmp_path):
+    """Curated background dirs: map_bg_to_video=False globs the whole dir and
+    extract_bg_if_not_found=False never runs TMF (predefined_background
+    config family)."""
+    import cv2
+
+    frames_root, train_ann, _ = tree
+    bg_dir = tmp_path / "curated_bg"
+    bg_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        cv2.imwrite(str(bg_dir / f"scene_{i}.jpg"), rng.integers(0, 255, (64, 80, 3)).astype(np.uint8))
+
+    ds = BackgroundMixDataset(
+        str(train_ann),
+        _train_pipeline(),
+        bg_dir=str(bg_dir),
+        extract_bg_if_not_found=False,
+        map_bg_to_video=False,
+        prob=1.0,
+        data_prefix=str(frames_root),
+        bg_resize=64,
+        bg_crop_size=(56, 56),
+    )
+    assert len(ds.bg_files) == 3  # globbed, not per-video
+    s = ds[0]
+    assert 0 <= s["bg_idx"] < 3
