@@ -85,11 +85,16 @@ GROUP_POLICY = {
 # -- lr schedules (factor as a function of epoch) ---------------------------
 
 
-def build_lr_factor_fn(cfg: Optional[Mapping]) -> Callable[[int], float]:
+def build_lr_factor_fn(
+    cfg: Optional[Mapping], base_lr: Optional[float] = None
+) -> Callable[[int], float]:
     """torch.optim.lr_scheduler factor semantics, keyed by epoch.
 
     cfg: {'type': name, 'params': {...}} or falsy for constant lr
-    (reference libs/utils.py:51-60 name map).
+    (reference libs/utils.py:50-59 name map, kwargs passed straight to the
+    torch scheduler at :58). ``base_lr`` lets CosineAnnealingLR take torch's
+    absolute ``eta_min`` kwarg; ``eta_min_factor`` (= eta_min / base_lr) is
+    also accepted.
     """
     if not cfg:
         return lambda epoch: 1.0
@@ -113,7 +118,12 @@ def build_lr_factor_fn(cfg: Optional[Mapping]) -> Callable[[int], float]:
         return lambda e: gamma**e
     if kind == "CosineAnnealingLR":
         t_max = p["T_max"]
-        eta_min_factor = p.get("eta_min_factor", 0.0)  # eta_min / base_lr
+        if "eta_min" in p:  # torch's absolute-lr kwarg
+            if not base_lr:
+                raise ValueError("CosineAnnealingLR eta_min needs base_lr")
+            eta_min_factor = p["eta_min"] / base_lr
+        else:
+            eta_min_factor = p.get("eta_min_factor", 0.0)  # eta_min / base_lr
         return lambda e: eta_min_factor + (1 - eta_min_factor) * (
             1 + math.cos(math.pi * e / t_max)
         ) / 2
@@ -145,7 +155,7 @@ def build_optimizer(
     if "fc_lr5" in paramwise:  # legacy CILTSMOptimizerConstructor flag
         fc_scale = 5.0 if paramwise["fc_lr5"] else 1.0
 
-    factor_fn = build_lr_factor_fn(lr_scheduler_cfg)
+    factor_fn = build_lr_factor_fn(lr_scheduler_cfg, base_lr=base_lr)
     spe = max(1, steps_per_epoch)
 
     def _sched(mult: float):

@@ -65,6 +65,12 @@ def train_epochs(
                 imgs = batch["imgs"]
             labels = batch["label"]
             extra = _extra_fields(batch)
+            # padded tail batches carry sample_weight==0 on pad rows; the
+            # north-star clips/s meter must count valid rows only
+            if "sample_weight" in batch:
+                n_valid = int(np.asarray(batch["sample_weight"]).sum())
+            else:
+                n_valid = int(np.shape(labels)[0])
             if mesh is not None:
                 imgs_d = imgs if isinstance(imgs, dict) else {"imgs": imgs}
                 put = shard_batch({**imgs_d, "label": labels, **extra}, mesh)
@@ -76,7 +82,7 @@ def train_epochs(
                     imgs = put["imgs"]
             rng_key, step_key = jax.random.split(rng_key)
             state, metrics = step_fn(state, prev_variables, imgs, labels, extra, step_key)
-            meter.tick(labels.shape[0])
+            meter.tick(n_valid)
             step += 1
             if step % log_every_n_steps == 0:
                 if pending_metrics is not None:
