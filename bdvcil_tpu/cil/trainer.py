@@ -351,13 +351,20 @@ class CILTrainer:
 
         # derive crop geometry from the configured train pipeline
         crop_size = 224
+        short_side = None
+        msc_scales = (1.0, 0.875, 0.75, 0.66)
         for op in self.config.data.train.get("pipeline", []):
             if op.get("type") == "MultiScaleCrop":
                 size = op.get("input_size", 224)
                 crop_size = size[0] if isinstance(size, (tuple, list)) else size
-            elif op.get("type") == "Resize" and not op.get("keep_ratio", True):
+                msc_scales = tuple(op.get("scales", msc_scales))
+            elif op.get("type") == "Resize":
                 scale = op.get("scale")
-                if isinstance(scale, (tuple, list)):
+                if op.get("keep_ratio", True):
+                    # Resize(-1, S): the short-side pre-resize
+                    if isinstance(scale, (tuple, list)) and scale[0] == -1:
+                        short_side = int(scale[1])
+                elif isinstance(scale, (tuple, list)):
                     crop_size = int(scale[0])
 
         randaug_prob = float(self.config.get("randAug_prob", 0.75))
@@ -367,6 +374,8 @@ class CILTrainer:
             batch_size=self.config.videos_per_gpu * self.data_module.world_size,
             num_segments=self.spec.num_segments,
             crop_size=crop_size,
+            short_side=short_side,
+            msc_scales=msc_scales,
             bg_short_side=int(getattr(ds, "bg_resize", 256)),
             randaug_prob=randaug_prob,
             with_randaug_mutex=bool(getattr(ds, "with_randAug", True)),

@@ -40,9 +40,84 @@ from . import native
 MSC_SCALES = (1.0, 0.875, 0.75, 0.66)
 
 
-def _fixed_crop_offsets(rw: int, rh: int, crop: int) -> List:
-    w_step = (rw - crop) // 4
-    h_step = (rh - crop) // 4
+def resized_dims(w: int, h: int, short_side: int) -> tuple:
+    """Post-resize dims for a short-side resize, matching mmcv rescale
+    semantics (int(dim * factor + 0.5), decoder.cpp resize contract)."""
+    factor = short_side / min(w, h)
+    return int(w * factor + 0.5), int(h * factor + 0.5)
+
+
+def plan_train_geometry(
+    rng,
+    orig_w: int,
+    orig_h: int,
+    input_size: int = 224,
+    short_side: int = 256,
+    scales=MSC_SCALES,
+    max_wh_scale_gap: int = 1,
+    num_fixed_crops: int = 13,
+) -> tuple:
+    """Whole-clip train-crop plan with the EXACT mmaction2 MultiScaleCrop
+    crop-box distribution, realized as one anisotropic resize + fixed crop.
+
+    Reference pipeline (config train_pipeline :126-135): Resize(-1, S) ->
+    MultiScaleCrop(input, scales, gap, 13 fixed offsets) -> Resize(input²).
+    This draws the (crop_w, crop_h) candidate and the fixed offset with the
+    same sampling scheme AND rng-draw order as the host MultiScaleCrop
+    transform (data/transforms.py:177-223), on the true resized geometry
+    (rw, rh) = resized_dims(W, H, S), then folds the final square resize in:
+    resize the original to (rw·input/crop_w, rh·input/crop_h) and crop
+    input² at the scaled offset. Offsets are exact up to <=0.5 px rounding;
+    the interpolation footprint is resize-then-crop instead of
+    crop-then-resize (measured equivalent within bilinear rounding).
+
+    Returns ((resize_w, resize_h), (crop_x, crop_y), ref_crop_box) where
+    ref_crop_box = (ox, oy, crop_w, crop_h) in reference resized coordinates
+    (exposed for fidelity tests).
+    """
+    rw, rh = resized_dims(orig_w, orig_h, short_side)
+    base = min(rw, rh)
+    crop_sizes = [int(base * s) for s in scales]
+    candidates = []
+    for i, ch in enumerate(crop_sizes):
+        for j, cw in enumerate(crop_sizes):
+            if abs(i - j) <= max_wh_scale_gap:
+                candidates.append([cw, ch])
+    crop_size = list(candidates[rng.integers(len(candidates))])
+    for i in range(2):
+        if abs(crop_size[i] - input_size) < 3:
+            crop_size[i] = input_size
+    crop_w, crop_h = crop_size
+
+    offsets = _fixed_crop_offsets(rw, rh, crop_w, crop_h)[:num_fixed_crops]
+    ox, oy = offsets[int(rng.integers(len(offsets)))]
+
+    fx = input_size / crop_w
+    fy = input_size / crop_h
+    resize_w = int(round(rw * fx))
+    resize_h = int(round(rh * fy))
+    crop_x = int(round(ox * fx))
+    crop_y = int(round(oy * fy))
+    return (resize_w, resize_h), (crop_x, crop_y), (int(ox), int(oy), crop_w, crop_h)
+
+
+def plan_bg_crop(rng, orig_w: int, orig_h: int, short_side: int, crop: int) -> tuple:
+    """Uniform RandomCrop offsets over the true valid range of the resized
+    background (reference comix_loader.py:72-75: Resize(short) ->
+    RandomCrop(crop), offsets ~ U[0, dim - crop])."""
+    rw, rh = resized_dims(orig_w, orig_h, short_side)
+    bx = int(rng.integers(0, max(rw - crop, 0) + 1))
+    by = int(rng.integers(0, max(rh - crop, 0) + 1))
+    return bx, by
+
+
+def _fixed_crop_offsets(rw: int, rh: int, crop_w: int, crop_h: int = None) -> List:
+    """The 13 MultiScaleCrop fixed offsets, in the host-transform order
+    (data/transforms.py:199-219 == mmaction2)."""
+    if crop_h is None:
+        crop_h = crop_w
+    w_step = max((rw - crop_w) // 4, 0)
+    h_step = max((rh - crop_h) // 4, 0)
     offsets = [
         (0, 0),
         (4 * w_step, 0),
@@ -214,6 +289,8 @@ class FastBGMixLoader:
         batch_size: int,
         num_segments: int = 8,
         crop_size: int = 224,
+        short_side: int = None,  # train Resize(-1, S); default crop/0.875
+        msc_scales=MSC_SCALES,
         bg_short_side: int = 256,
         filename_tmpl: str = "img_{:05}.jpg",
         start_index: int = 1,
@@ -234,6 +311,10 @@ class FastBGMixLoader:
         self.batch_size = batch_size
         self.num_segments = num_segments
         self.crop_size = crop_size
+        # reference configs pair MultiScaleCrop(input) with Resize(-1, S)
+        # where input/S = 0.875 (224/256, 56/64 in the tests)
+        self.short_side = short_side or int(round(crop_size / 0.875))
+        self.msc_scales = tuple(msc_scales)
         self.bg_short_side = bg_short_side
         self.filename_tmpl = filename_tmpl
         self.start_index = start_index
@@ -248,11 +329,19 @@ class FastBGMixLoader:
         self.prefetch = prefetch
         self.epoch = 0
         self.sampler = SampleFrames(clip_len=1, frame_interval=1, num_clips=num_segments)
-        # crop 224 at short side 224/scale covers the same area fraction as
-        # MultiScaleCrop's crop of base*scale at short side 256
-        self.msc_short_sides = tuple(
-            int(round(crop_size / s)) for s in MSC_SCALES
-        )
+        # original (w, h) per frame_dir / bg file, probed from JPEG headers
+        # once and cached; frames within one video share dimensions (same
+        # assumption mmaction2 pipelines make via the clip-wide img_shape)
+        self._dims: Dict[str, tuple] = {}
+
+    def _get_dims(self, keys_and_paths: List) -> None:
+        """Probe original dims for any (cache_key, jpeg_path) not yet seen."""
+        todo = [(k, p) for k, p in keys_and_paths if k not in self._dims]
+        if not todo:
+            return
+        dims = native.probe_dims_batch([p for _, p in todo], num_threads=self.num_threads)
+        for (key, _), (w, h) in zip(todo, dims):
+            self._dims[key] = (int(w), int(h))
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -269,7 +358,7 @@ class FastBGMixLoader:
 
         frame_paths: List[str] = []
         crops: List = []
-        short_sides = np.empty(b * t, np.int32)
+        resize_dims = np.empty((b * t, 2), np.int32)
         labels = np.empty((b, 1), np.int64)
         flip = np.empty(b, bool)
         apply_bgmix = np.empty(b, bool)
@@ -279,10 +368,16 @@ class FastBGMixLoader:
         apply_randaug = np.zeros(b, bool)
         randaug_keys = np.empty((b, 2), np.uint32)
 
+        # pass 1: per-sample decisions + frame selection; collect the paths
+        # whose original dims we need so one header-probe call covers them all
+        rngs = []
+        row_frame_inds = []
+        probe: List = []
         for row, idx in enumerate(indices):
             rng = np.random.default_rng(
                 np.random.SeedSequence([self.seed, self.epoch, int(idx), 7])
             )
+            rngs.append(rng)
             info = self.video_infos[int(idx)]
             labels[row, 0] = info["label"]
             flip[row] = rng.random() < self.flip_ratio
@@ -299,53 +394,47 @@ class FastBGMixLoader:
                 apply_randaug[row] = self.randaug_prob >= 0 and rng.random() < self.randaug_prob
                 apply_bgmix[row] = rng.random() < self.bgmix_prob
 
-            # whole-clip-consistent crop geometry (MultiScaleCrop semantics)
-            short = int(self.msc_short_sides[rng.integers(len(self.msc_short_sides))])
-            # resized dims (frames in one video share dims; use first frame's
-            # aspect only implicitly via centered candidate offsets: the
-            # native kernel clips offsets to the resized extent)
             frame_inds = self.sampler.sample(info["total_frames"], rng) + self.start_index
-            # offsets drawn on a square worst case; clipping in the native
-            # kernel keeps them valid for any aspect ratio
-            offsets = _fixed_crop_offsets(short * 2, short, crop)
-            ox, oy = offsets[int(rng.integers(len(offsets)))]
-
-            for fi in frame_inds:
-                frame_paths.append(osp.join(info["frame_dir"], self.filename_tmpl.format(int(fi))))
-                crops.append((int(ox), int(oy)))
-                short_sides[row * t : (row + 1) * t] = short
+            row_frame_inds.append(frame_inds)
+            probe.append((
+                info["frame_dir"],
+                osp.join(info["frame_dir"], self.filename_tmpl.format(int(frame_inds[0]))),
+            ))
 
             if self.bg_files and apply_bgmix[row]:
-                bg_paths.append(self.bg_files[int(rng.integers(len(self.bg_files)))])
+                bg_path = self.bg_files[int(rng.integers(len(self.bg_files)))]
             else:
-                # placeholder (not blended); reuse the first frame path
-                bg_paths.append(frame_paths[-1])
+                # placeholder (not blended); reuse a frame of this video
+                bg_path = probe[-1][1]
                 apply_bgmix[row] = apply_bgmix[row] and bool(self.bg_files)
-            bx = int(rng.integers(0, 10_000))
-            by = int(rng.integers(0, 10_000))
-            bg_crops.append((bx, by))  # clipped to valid range natively
+            bg_paths.append(bg_path)
+            probe.append((bg_path, bg_path))
+        self._get_dims(probe)
 
-        # decode clips grouped by short side (the native call takes one
-        # short_side per batch); group rows to keep the call count small
-        imgs = np.empty((b * t, crop, crop, 3), np.uint8)
-        order = np.argsort(short_sides, kind="stable")
-        pos = 0
-        while pos < len(order):
-            s = short_sides[order[pos]]
-            end = pos
-            while end < len(order) and short_sides[order[end]] == s:
-                end += 1
-            sel = order[pos:end]
-            out = native.decode_resize_crop_batch(
-                [frame_paths[i] for i in sel],
-                short_side=int(s),
-                out_h=crop,
-                out_w=crop,
-                crops=[crops[i] for i in sel],
-                num_threads=self.num_threads,
+        # pass 2: whole-clip crop geometry on the true resized dims of each
+        # image — the exact MultiScaleCrop crop-box distribution, realized as
+        # a per-clip anisotropic resize + fixed crop (plan_train_geometry)
+        for row, idx in enumerate(indices):
+            rng = rngs[row]
+            info = self.video_infos[int(idx)]
+            vw, vh = self._dims[info["frame_dir"]]
+            (rw, rh), (ox, oy), _ = plan_train_geometry(
+                rng, vw, vh, input_size=crop, short_side=self.short_side,
+                scales=self.msc_scales,
             )
-            imgs[sel] = out
-            pos = end
+            for k, fi in enumerate(row_frame_inds[row]):
+                frame_paths.append(osp.join(info["frame_dir"], self.filename_tmpl.format(int(fi))))
+                crops.append((ox, oy))
+                resize_dims[row * t + k] = (rw, rh)
+
+            # uniform bg RandomCrop over the true valid range
+            bw, bh = self._dims[bg_paths[row]]
+            bg_crops.append(plan_bg_crop(rng, bw, bh, self.bg_short_side, crop))
+
+        imgs = native.decode_resize2_crop_batch(
+            frame_paths, resize_dims, out_h=crop, out_w=crop, crops=crops,
+            num_threads=self.num_threads,
+        )
 
         bg = native.decode_resize_crop_batch(
             bg_paths,

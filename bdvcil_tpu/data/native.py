@@ -86,6 +86,29 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int,
         ]
+        if hasattr(lib, "bdvc_decode_resize2_crop_batch"):
+            lib.bdvc_decode_resize2_crop_batch.restype = ctypes.c_int
+            lib.bdvc_decode_resize2_crop_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int,
+            ]
+        if hasattr(lib, "bdvc_probe_dims_batch"):
+            lib.bdvc_probe_dims_batch.restype = ctypes.c_int
+            lib.bdvc_probe_dims_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int,
+            ]
         _lib = lib
         return _lib
 
@@ -154,6 +177,72 @@ def decode_resize_crop_batch(
     if rc != 0:
         raise IOError(f"decode failed for {paths[rc - 1]}")
     return out
+
+
+def decode_resize2_crop_batch(
+    paths: Sequence[str],
+    resize_dims: np.ndarray,
+    out_h: int,
+    out_w: int,
+    crops: Sequence[Tuple[int, int]],
+    num_threads: int = 0,
+) -> np.ndarray:
+    """Per-image anisotropic resize + crop: decode each path, resize to
+    resize_dims[i] = (w, h) with independent x/y factors, crop out_h x out_w
+    at crops[i]. Realizes crop-then-resize pipelines (MultiScaleCrop ->
+    Resize) as one resize-then-crop with the exact crop-box distribution."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "bdvc_decode_resize2_crop_batch"):
+        raise RuntimeError("native decoder unavailable or too old")
+    n = len(paths)
+    out = np.empty((n, out_h, out_w, 3), dtype=np.uint8)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    dims = np.ascontiguousarray(resize_dims, dtype=np.int32).reshape(n, 2)
+    rw = np.ascontiguousarray(dims[:, 0])
+    rh = np.ascontiguousarray(dims[:, 1])
+    cx = np.ascontiguousarray([c[0] for c in crops], dtype=np.int32)
+    cy = np.ascontiguousarray([c[1] for c in crops], dtype=np.int32)
+    if num_threads <= 0:
+        num_threads = min(8, os.cpu_count() or 1)
+    rc = lib.bdvc_decode_resize2_crop_batch(
+        c_paths,
+        n,
+        rw.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        rh.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        out_h,
+        out_w,
+        cx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        cy.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        num_threads,
+    )
+    if rc != 0:
+        raise IOError(f"decode failed for {paths[rc - 1]}")
+    return out
+
+
+def probe_dims_batch(paths: Sequence[str], num_threads: int = 0) -> np.ndarray:
+    """JPEG header-only (w, h) probe: returns an (N, 2) int32 array of
+    original dimensions without decoding pixel data."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "bdvc_probe_dims_batch"):
+        raise RuntimeError("native decoder unavailable or too old")
+    n = len(paths)
+    widths = np.empty(n, dtype=np.int32)
+    heights = np.empty(n, dtype=np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if num_threads <= 0:
+        num_threads = min(8, os.cpu_count() or 1)
+    rc = lib.bdvc_probe_dims_batch(
+        c_paths,
+        n,
+        widths.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        heights.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        num_threads,
+    )
+    if rc != 0:
+        raise IOError(f"probe failed for {paths[rc - 1]}")
+    return np.stack([widths, heights], axis=1)
 
 
 def decode_tencrop_batch(

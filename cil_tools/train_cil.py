@@ -43,7 +43,7 @@ def parse_args():
     parser.add_argument("--num_epochs_per_task", type=int)
     parser.add_argument("--cbf_num_epochs_per_task", type=int)
     parser.add_argument("--kd_exemplar_only", action="store_true")
-    parser.add_argument("--log_every_n_steps", type=int, default=2)
+    parser.add_argument("--log_every_n_steps", type=int)  # default: config value
     parser.add_argument("--save_best", action="store_true", help="validate every epoch, keep best")
     parser.add_argument("--seed", type=int)
     parser.add_argument("--compute_dtype", choices=["float32", "bfloat16"])

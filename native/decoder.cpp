@@ -42,11 +42,13 @@ void error_exit_cb(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-// Decode a JPEG file into an RGB buffer. When min_short_side > 0, pick the
-// largest DCT scale denominator (2, 4, 8) that keeps the decoded short side
-// >= min_short_side — decoding at 1/4 scale is ~10x cheaper than full size.
+// Decode a JPEG file into an RGB buffer. When min_w/min_h > 0, pick the
+// largest DCT scale denominator (2, 4, 8) that keeps the decoded image at
+// least (min_w, min_h) on the respective axes — decoding at 1/4 scale is
+// ~10x cheaper than full size. Passing the same value for both bounds
+// reproduces the short-side contract (the short axis is the binding one).
 bool decode_jpeg_file(const char* path, std::vector<uint8_t>& out, int& width,
-                      int& height, int min_short_side) {
+                      int& height, int min_w, int min_h) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
 
@@ -65,11 +67,12 @@ bool decode_jpeg_file(const char* path, std::vector<uint8_t>& out, int& width,
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
 
-  if (min_short_side > 0) {
-    const int short_side =
-        cinfo.image_width < cinfo.image_height ? cinfo.image_width : cinfo.image_height;
+  if (min_w > 0 && min_h > 0) {
+    const int iw = static_cast<int>(cinfo.image_width);
+    const int ih = static_cast<int>(cinfo.image_height);
     int denom = 1;
-    while (denom < 8 && short_side / (denom * 2) >= min_short_side) denom *= 2;
+    while (denom < 8 && iw / (denom * 2) >= min_w && ih / (denom * 2) >= min_h)
+      denom *= 2;
     cinfo.scale_num = 1;
     cinfo.scale_denom = denom;
   }
@@ -186,12 +189,66 @@ int bdvc_version() { return 1; }
 int bdvc_decode_file(const char* path, uint8_t* out, long cap, int* w, int* h) {
   std::vector<uint8_t> buf;
   int width = 0, height = 0;
-  if (!decode_jpeg_file(path, buf, width, height, /*min_short_side=*/0)) return -1;
+  if (!decode_jpeg_file(path, buf, width, height, /*min_w=*/0, /*min_h=*/0)) return -1;
   if (static_cast<long>(buf.size()) > cap) return -2;
   std::memcpy(out, buf.data(), buf.size());
   *w = width;
   *h = height;
   return 0;
+}
+
+// Header-only probe: read each JPEG's dimensions without decoding pixel
+// data (jpeg_read_header + abort; ~microseconds per file). Lets the loader
+// compute true resized geometry so crop offsets are drawn on the real
+// aspect ratio (reference MultiScaleCrop / bg RandomCrop contracts,
+// libs/loader/comix_loader.py:72-75). Returns 0 or 1 + index of the first
+// failed file.
+int bdvc_probe_dims_batch(const char** paths, int n, int* widths, int* heights,
+                          int num_threads) {
+  if (n <= 0) return 0;
+  if (num_threads < 1) num_threads = 1;
+  if (num_threads > n) num_threads = n;
+
+  std::atomic<int> next(0);
+  std::atomic<int> failed(0);
+
+  auto worker = [&]() {
+    while (true) {
+      const int i = next.fetch_add(1);
+      if (i >= n || failed.load() != 0) break;
+
+      FILE* f = fopen(paths[i], "rb");
+      if (!f) {
+        int expected = 0;
+        failed.compare_exchange_strong(expected, i + 1);
+        break;
+      }
+      jpeg_decompress_struct cinfo;
+      ErrorMgr jerr;
+      cinfo.err = jpeg_std_error(&jerr.pub);
+      jerr.pub.error_exit = error_exit_cb;
+      if (setjmp(jerr.setjmp_buffer)) {
+        jpeg_destroy_decompress(&cinfo);
+        fclose(f);
+        int expected = 0;
+        failed.compare_exchange_strong(expected, i + 1);
+        break;
+      }
+      jpeg_create_decompress(&cinfo);
+      jpeg_stdio_src(&cinfo, f);
+      jpeg_read_header(&cinfo, TRUE);
+      widths[i] = static_cast<int>(cinfo.image_width);
+      heights[i] = static_cast<int>(cinfo.image_height);
+      jpeg_destroy_decompress(&cinfo);
+      fclose(f);
+    }
+  };
+
+  std::vector<std::thread> threads;
+  threads.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return failed.load();
 }
 
 // Batch fast path: for each of n paths
@@ -217,7 +274,7 @@ int bdvc_decode_resize_crop_batch(const char** paths, int n, int short_side,
       if (i >= n || failed.load() != 0) break;
 
       int w = 0, h = 0;
-      if (!decode_jpeg_file(paths[i], decoded, w, h, short_side)) {
+      if (!decode_jpeg_file(paths[i], decoded, w, h, short_side, short_side)) {
         int expected = 0;
         failed.compare_exchange_strong(expected, i + 1);
         break;
@@ -227,6 +284,75 @@ int bdvc_decode_resize_crop_batch(const char** paths, int n, int short_side,
       const float factor = static_cast<float>(short_side) / (w < h ? w : h);
       const int rw = static_cast<int>(w * factor + 0.5f);
       const int rh = static_cast<int>(h * factor + 0.5f);
+      resized.resize(static_cast<size_t>(rw) * rh * 3);
+      bilinear_resize(decoded.data(), w, h, resized.data(), rw, rh);
+
+      int cx = crop_x ? crop_x[i] : -1;
+      int cy = crop_y ? crop_y[i] : -1;
+      if (cx < 0) cx = (rw - out_w) / 2;
+      if (cy < 0) cy = (rh - out_h) / 2;
+      if (cx < 0) cx = 0;
+      if (cy < 0) cy = 0;
+      if (cx + out_w > rw) cx = rw - out_w;
+      if (cy + out_h > rh) cy = rh - out_h;
+      if (cx < 0 || cy < 0) {  // target larger than resized image: upscale
+        bilinear_resize(resized.data(), rw, rh, out + static_cast<size_t>(i) * frame_bytes,
+                        out_w, out_h);
+        continue;
+      }
+      uint8_t* dst = out + static_cast<size_t>(i) * frame_bytes;
+      for (int y = 0; y < out_h; ++y) {
+        std::memcpy(dst + static_cast<size_t>(y) * out_w * 3,
+                    resized.data() + (static_cast<size_t>(cy + y) * rw + cx) * 3,
+                    static_cast<size_t>(out_w) * 3);
+      }
+    }
+  };
+
+  std::vector<std::thread> threads;
+  threads.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return failed.load();
+}
+
+// Generalized batch path with PER-IMAGE anisotropic resize: decode each
+// path (DCT-scaled), resize to (resize_w[i], resize_h[i]) — independent x/y
+// factors, so a crop-then-resize pipeline can be realized as one
+// resize-then-crop — then crop out_h x out_w at (crop_x[i], crop_y[i])
+// (-1 -> center, clipped). Writes HWC uint8 into out[i * out_h * out_w * 3].
+// Returns 0 on success or (1 + index) of the first failed file.
+int bdvc_decode_resize2_crop_batch(const char** paths, int n,
+                                   const int* resize_w, const int* resize_h,
+                                   int out_h, int out_w, const int* crop_x,
+                                   const int* crop_y, uint8_t* out,
+                                   int num_threads) {
+  if (n <= 0) return 0;
+  if (num_threads < 1) num_threads = 1;
+  if (num_threads > n) num_threads = n;
+
+  std::atomic<int> next(0);
+  std::atomic<int> failed(0);
+  const size_t frame_bytes = static_cast<size_t>(out_h) * out_w * 3;
+
+  auto worker = [&]() {
+    std::vector<uint8_t> decoded, resized;
+    while (true) {
+      const int i = next.fetch_add(1);
+      if (i >= n || failed.load() != 0) break;
+
+      const int rw = resize_w[i] > 0 ? resize_w[i] : 1;
+      const int rh = resize_h[i] > 0 ? resize_h[i] : 1;
+      // DCT scale: keep the decoded image at least as large as the resize
+      // target on both axes (min_short_side contract of decode_jpeg_file is
+      // per-short-side; the worst case over both axes is max(rw, rh) against
+      // the short side only when aspect flips, so probe dims first)
+      int w = 0, h = 0;
+      if (!decode_jpeg_file(paths[i], decoded, w, h, rw, rh)) {
+        int expected = 0;
+        failed.compare_exchange_strong(expected, i + 1);
+        break;
+      }
       resized.resize(static_cast<size_t>(rw) * rh * 3);
       bilinear_resize(decoded.data(), w, h, resized.data(), rw, rh);
 
@@ -282,7 +408,7 @@ int bdvc_decode_tencrop_batch(const char** paths, int n, int short_side,
       if (i >= n || failed.load() != 0) break;
 
       int w = 0, h = 0;
-      if (!decode_jpeg_file(paths[i], decoded, w, h, short_side)) {
+      if (!decode_jpeg_file(paths[i], decoded, w, h, short_side, short_side)) {
         int expected = 0;
         failed.compare_exchange_strong(expected, i + 1);
         break;

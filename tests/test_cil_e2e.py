@@ -5,6 +5,8 @@ testing, resume, and full-protocol cil_testing."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute full-protocol runs
+
 from bdvcil_tpu.config import Config
 from bdvcil_tpu.cil import CILTrainer
 from tests.synthetic import make_rawframe_tree

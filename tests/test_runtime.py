@@ -117,6 +117,7 @@ def test_eval_step_outputs():
     np.testing.assert_allclose(norms, 1.0, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single_device():
     """The sharded step must produce the same update as single-device."""
     mesh = make_mesh()
@@ -174,6 +175,7 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_padded_batch_step_matches_unpadded_loss():
     """A padded batch with sample weights must produce the same loss as the
     unpadded batch (metrics path; BN stats differ by design like the

@@ -12,6 +12,7 @@ MEAN = [123.675, 116.28, 103.53]
 STD = [58.395, 57.12, 57.375]
 
 
+@pytest.mark.slow
 def test_tools_train_single_task(tmp_path, monkeypatch):
     frames_root, train_ann, val_ann = make_rawframe_tree(
         tmp_path, num_classes=2, videos_per_class=5, num_frames=8, size=(70, 92)
