@@ -27,6 +27,7 @@ from ..config import Config
 from ..data import DataLoader, build_dataset
 from ..data.annotations import build_label_remap, accumulate_task_sizes
 from ..data.datasets import ActorCutMixDataset, BackgroundMixDataset, RawframeDataset
+from ..parallel import distributed
 from ..utils import get_logger
 
 logger = get_logger("bdvcil.cil")
@@ -110,10 +111,12 @@ class CILDataModule:
                     task_file = destination / self.config.cil_ann_file_template.format(
                         train_val, task_i
                     )
-                    with open(task_file, "w") as f:
-                        f.writelines("{} {} {}\n".format(*row) for row in task_data)
+                    if distributed.is_primary():  # all ranks bookkeep, rank 0 writes
+                        with open(task_file, "w") as f:
+                            f.writelines("{} {} {}\n".format(*row) for row in task_data)
+                        logger.info("create file at: %s", task_file)
                     self.task_splits_ann_files[train_val].append(task_file)
-                    logger.info("create file at: %s", task_file)
+        distributed.sync_processes("ann_files")
 
     def collect_ann_files_from_work_dir(self) -> None:
         ann_dir = self.work_dir / "task_splits"
@@ -324,22 +327,19 @@ class CILDataModule:
         )
 
     def combine_all_exemplar_ann_files(self, task_idx: int) -> pathlib.Path:
-        parts = []
-        for i in range(task_idx + 1):
-            parts.append((self.exemplar_dir / f"exemplar_task_{i}.txt").read_text().strip())
         tmp = self.exemplar_dir / "tmp_exemplars.txt"
-        tmp.write_text("\n".join(parts))
+        if distributed.is_primary():
+            parts = []
+            for i in range(task_idx + 1):
+                parts.append((self.exemplar_dir / f"exemplar_task_{i}.txt").read_text().strip())
+            tmp.write_text("\n".join(parts))
+        distributed.sync_processes("exemplar_tmp")
         return tmp
 
     def features_extraction_dataloader_on_exemplar(self, task_idx: int) -> DataLoader:
         tmp = self.exemplar_dir / "tmp_exemplars.txt"
         ds = self._build(self.config.data.features_extraction, str(tmp), test_mode=True)
-        return DataLoader(
-            ds,
-            batch_size=self.test_batch_size,
-            shuffle=False,
-            num_workers=self.config.workers_per_gpu,
-        )
+        return self._eval_loader(ds, self.config.data.features_extraction.get("pipeline"))
 
     # -- exemplar management -----------------------------------------------
     def create_exemplar_ann_file(self, exemplar_meta: Dict, task_idx: int = -1) -> str:
@@ -351,11 +351,13 @@ class CILDataModule:
             task_idx = self.current_task
         root_dir = pathlib.Path(osp.realpath(self.config.data_root)).absolute()
         ann_file = self.exemplar_dir / f"exemplar_task_{task_idx}.txt"
-        with open(ann_file, "w") as f:
-            for class_idx, meta in exemplar_meta.items():
-                for frame_dir, total_frames in zip(meta["frame_dir"], meta["total_frames"]):
-                    rel = pathlib.Path(frame_dir).relative_to(root_dir)
-                    f.write(f"{rel} {int(total_frames)} {class_idx}\n")
+        if distributed.is_primary():
+            with open(ann_file, "w") as f:
+                for class_idx, meta in exemplar_meta.items():
+                    for frame_dir, total_frames in zip(meta["frame_dir"], meta["total_frames"]):
+                        rel = pathlib.Path(frame_dir).relative_to(root_dir)
+                        f.write(f"{rel} {int(total_frames)} {class_idx}\n")
+        distributed.sync_processes("exemplar_ann")
         return str(ann_file)
 
     def build_exemplar_dataset(self, ann_file: str):

@@ -32,7 +32,7 @@ from ..models import build_model, init_model_params
 from ..models.builder import ModelSpec
 from ..models.pretrained import apply_backbone_weights, load_checkpoint_file, load_torch_resnet_backbone
 from ..optim import build_optimizer
-from ..parallel import make_mesh
+from ..parallel import distributed, make_mesh
 from ..runtime import (
     TrainState,
     load_checkpoint,
@@ -98,10 +98,14 @@ class CILTrainer:
 
         self.data_module.build_validation_datasets()
 
-        if dump_config:
+        if dump_config and distributed.is_primary():
             config.dump(str(self.work_dir / "config.py"))
 
-        self.metric_logger = MetricLogger(str(self.work_dir), use_wandb=config.get("use_wandb", False))
+        # non-primary processes keep a no-op logger (rank-0 file/wandb writes)
+        self.metric_logger = MetricLogger(
+            str(self.work_dir) if distributed.is_primary() else None,
+            use_wandb=config.get("use_wandb", False) and distributed.is_primary(),
+        )
         self.training_phase: Optional[str] = None  # ['inc_step', 'cbf_step']
         self.current_best: Optional[float] = 0.0 if config.get("save_best", False) else None
 
@@ -145,12 +149,15 @@ class CILTrainer:
         return self.ckpt_dir / f"ckpt_task_{task_idx}.msgpack"
 
     def _save_task_ckpt(self, task_idx: int) -> None:
-        save_checkpoint(
-            self._ckpt_path(task_idx),
-            self.variables,
-            meta={"task": task_idx, "num_classes": self.num_classes(task_idx)},
-        )
-        logger.info("save_model at: %s", self._ckpt_path(task_idx))
+        if distributed.is_primary():
+            save_checkpoint(
+                self._ckpt_path(task_idx),
+                self.variables,
+                meta={"task": task_idx, "num_classes": self.num_classes(task_idx)},
+            )
+            logger.info("save_model at: %s", self._ckpt_path(task_idx))
+        # other ranks may reload this file (save-best, resume, cil_testing)
+        distributed.sync_processes("ckpt_save")
 
     def _load_task_ckpt(self, task_idx: int) -> Dict:
         variables, meta = load_checkpoint(self._ckpt_path(task_idx))
@@ -334,18 +341,22 @@ class CILTrainer:
             start += n
         return meter.avg
 
-    def _try_fast_loader(self):
+    def _try_fast_loader(self, dataset=None, pad_to_batch: bool = False):
         """Fast uint8 input path when configured and applicable: native C++
         decode + device-fused RandAugment/normalize/bgmix
-        (data/device_pipeline.py). Falls back to the host pipeline loader."""
+        (data/device_pipeline.py). Falls back to the host pipeline loader.
+
+        ``dataset`` defaults to the main train dataset; the CBF phase passes
+        its class-balanced exemplar dataset (pad_to_batch keeps the tiny
+        exemplar sets whole, pad rows carry sample_weight=0)."""
         if not self.config.get("use_fast_input_pipeline", False):
             return None, None
         from ..data import native
         from ..data.datasets import BackgroundMixDataset
         from ..data.device_pipeline import FastBGMixLoader, make_fast_input_fn
 
-        ds = self.data_module.train_dataset
-        if not native.available() or not isinstance(ds, BackgroundMixDataset):
+        ds = self.data_module.train_dataset if dataset is None else dataset
+        if not native.available() or not isinstance(ds, BackgroundMixDataset) or len(ds) == 0:
             logger.info("fast input pipeline unavailable; using host pipeline")
             return None, None
 
@@ -381,6 +392,8 @@ class CILTrainer:
             with_randaug_mutex=bool(getattr(ds, "with_randAug", True)),
             bgmix_prob=float(getattr(ds, "prob", 0.25)),
             seed=self.seed,
+            drop_last=not pad_to_batch,
+            pad_to_batch=pad_to_batch,
         )
         input_fn = make_fast_input_fn(
             alpha=float(getattr(ds, "alpha", 0.5)),
@@ -404,18 +417,25 @@ class CILTrainer:
             not self.config.get("cbf_train_backbone", False),
         )
         cbf_dataset = self.data_module.build_cbf_dataset()
-        from ..data import DataLoader
+        loader, input_fn = self._try_fast_loader(cbf_dataset, pad_to_batch=True)
+        if loader is None:
+            from ..data import DataLoader
 
-        loader = DataLoader(
-            cbf_dataset,
-            batch_size=self.config.videos_per_gpu * self.data_module.world_size,
-            shuffle=True,
-            num_workers=self.config.workers_per_gpu,
-            drop_last=False,
-            pad_to_batch=True,
-            seed=self.seed,
+            loader = DataLoader(
+                cbf_dataset,
+                batch_size=self.config.videos_per_gpu * self.data_module.world_size,
+                shuffle=True,
+                num_workers=self.config.workers_per_gpu,
+                drop_last=False,
+                pad_to_batch=True,
+                seed=self.seed,
+            )
+        self._fit(
+            loader,
+            self.config.get("cbf_num_epochs_per_task", self.num_epoch_per_task),
+            phase="cbf",
+            input_fn=input_fn,
         )
-        self._fit(loader, self.config.get("cbf_num_epochs_per_task", self.num_epoch_per_task), phase="cbf")
 
     # -- exemplar construction ---------------------------------------------
     def _extract_features_for_constructing_exemplar(self) -> Dict:
@@ -485,7 +505,9 @@ class CILTrainer:
             rows = repr_[labels == class_idx]
             class_means.append(rows.mean(axis=0))
         class_means = np.stack(class_means, axis=0)
-        np.savez(cache, class_means=class_means)
+        if distributed.is_primary():
+            np.savez(cache, class_means=class_means)
+        distributed.sync_processes("class_means")
         return class_means
 
     # -- testing -------------------------------------------------------------
@@ -644,12 +666,14 @@ class CILTrainer:
         logger.info("CNN accuracies")
         cnn_table = print_mean_accuracy(cnn_accuracies, sizes)
         print(cnn_table)
-        (self.work_dir / "cnn_result.txt").write_text("CNN Accuracies" + cnn_table + "\n")
+        if distributed.is_primary():
+            (self.work_dir / "cnn_result.txt").write_text("CNN Accuracies" + cnn_table + "\n")
         if test_nme:
             logger.info("NME accuracies")
             nme_table = print_mean_accuracy(nme_accuracies, sizes)
             print(nme_table)
-            (self.work_dir / "nme_result.txt").write_text("NME Accuracies" + nme_table + "\n")
+            if distributed.is_primary():
+                (self.work_dir / "nme_result.txt").write_text("NME Accuracies" + nme_table + "\n")
         self._current_task = tmp
 
     def single_ckpt_testing(self, ckpt_file: str, test_nme: bool = True) -> None:

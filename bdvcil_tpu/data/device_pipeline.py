@@ -10,18 +10,21 @@ fused on the TPU (ops/augment.py, ops/rand_augment_dev.py).
 
 Augmentation distribution matches the reference train pipeline:
   * SampleFrames(1x8) jittered per segment (data/sampling.py)
-  * MultiScaleCrop semantics via "short-side trick": cropping 224^2 from a
-    short-side-s resize covers the same area fraction as cropping
-    224*(256/s) from a short-side-256 resize, so sampling
-    s in {224, 256, 299, 339} == scales (1, .875, .75, .66); the 13 fixed
-    offsets are drawn on the resized geometry like MultiScaleCrop
-    (num_fixed_crops=13, reference config :129-135)
+  * the EXACT mmaction2 MultiScaleCrop crop-box distribution — all 10
+    (w, h) scale candidates incl. non-square, the <3 snap rule, and the 13
+    fixed offsets computed on the true resized geometry (JPEG headers are
+    probed once per video) — realized as one per-clip anisotropic resize +
+    fixed crop in the native kernel (plan_train_geometry; reference config
+    :129-135). Only the interpolation footprint differs (resize-then-crop
+    vs crop-then-resize).
+  * background RandomCrop offsets uniform over the true valid range
+    (plan_bg_crop; comix_loader.py:72-75)
   * whole-clip flip, bgmix probability / randAug mutex drawn on host
     (per-sample reproducible RNG), applied branchlessly on device
 
 Batch layout out: {'imgs_u8' (B,T,224,224,3) u8, 'bg_u8' (B,224,224,3) u8,
-'apply_bgmix' (B,) bool, 'flip' (B,) bool, 'randaug_ops' (B,n) i32 or absent,
-'label' (B,1) i64}.
+'apply_bgmix' (B,) bool, 'flip' (B,) bool, 'randaug_key' (B,2) u32,
+'label' (B,1) i64, 'sample_weight' (B,) f32 when pad_to_batch}.
 """
 
 from __future__ import annotations
@@ -202,11 +205,22 @@ class FastEvalLoader:
         num_threads: int = 0,
         prefetch: int = 2,
         tencrop: bool = False,
+        process_index: int = None,
+        process_count: int = None,
     ):
         if not native.available():
             raise RuntimeError("native decoder unavailable; use the standard DataLoader")
         self.video_infos = list(video_infos)
-        self.batch_size = batch_size
+        self.batch_size = batch_size  # GLOBAL batch size
+        if process_count is None:
+            import jax
+
+            process_count = jax.process_count()
+            process_index = jax.process_index()
+        self.process_count = max(1, process_count)
+        self.process_index = process_index or 0
+        if self.process_count > 1:
+            assert batch_size % self.process_count == 0, (batch_size, self.process_count)
         self.num_segments = num_segments
         self.crop_size = crop_size
         self.short_side = short_side
@@ -249,11 +263,25 @@ class FastEvalLoader:
         )
         return {"imgs": imgs.reshape(len(indices), t, crop, crop, 3), "label": labels}
 
+    @property
+    def num_valid(self) -> int:
+        """Dataset-order valid rows (multi-process batches are padded)."""
+        return len(self.video_infos)
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.video_infos)
-        batches = [
-            np.arange(n)[i : i + self.batch_size] for i in range(0, n, self.batch_size)
-        ]
+        if self.process_count > 1:
+            # pad the global order to full batches (trimmed by run_inference
+            # via num_valid) and take this process's contiguous row slice
+            total = -(-n // self.batch_size) * self.batch_size
+            idx = np.concatenate([np.arange(n), np.full(total - n, n - 1, np.int64)])
+            per = self.batch_size // self.process_count
+            lo = self.process_index * per
+            batches = [b[lo : lo + per] for b in idx.reshape(-1, self.batch_size)]
+        else:
+            batches = [
+                np.arange(n)[i : i + self.batch_size] for i in range(0, n, self.batch_size)
+            ]
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
         error: List[BaseException] = []
@@ -302,13 +330,27 @@ class FastBGMixLoader:
         seed: int = 0,
         num_threads: int = 0,
         drop_last: bool = True,
+        pad_to_batch: bool = False,  # wrap-pad the tail; emits sample_weight
         prefetch: int = 2,
+        process_index: int = None,
+        process_count: int = None,
     ):
         if not native.available():
             raise RuntimeError("native decoder unavailable; use the standard DataLoader")
         self.video_infos = list(video_infos)
         self.bg_files = list(bg_files)
-        self.batch_size = batch_size
+        self.batch_size = batch_size  # GLOBAL batch size
+        # multi-process slicing, same contract as data/loader.py DataLoader
+        if process_count is None:
+            import jax
+
+            process_count = jax.process_count()
+            process_index = jax.process_index()
+        self.process_count = max(1, process_count)
+        self.process_index = process_index or 0
+        if self.process_count > 1:
+            assert batch_size % self.process_count == 0, (batch_size, self.process_count)
+            self.pad_to_batch = pad_to_batch = pad_to_batch or not drop_last
         self.num_segments = num_segments
         self.crop_size = crop_size
         # reference configs pair MultiScaleCrop(input) with Resize(-1, S)
@@ -326,6 +368,7 @@ class FastBGMixLoader:
         self.seed = seed
         self.num_threads = num_threads
         self.drop_last = drop_last
+        self.pad_to_batch = pad_to_batch
         self.prefetch = prefetch
         self.epoch = 0
         self.sampler = SampleFrames(clip_len=1, frame_interval=1, num_clips=num_segments)
@@ -351,7 +394,7 @@ class FastBGMixLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     # -- batch assembly ----------------------------------------------------
-    def _make_batch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+    def _make_batch(self, indices: np.ndarray, weights: np.ndarray = None) -> Dict[str, np.ndarray]:
         b = len(indices)
         t = self.num_segments
         crop = self.crop_size
@@ -445,7 +488,7 @@ class FastBGMixLoader:
             num_threads=self.num_threads,
         )
 
-        return {
+        out = {
             "imgs_u8": imgs.reshape(b, t, crop, crop, 3),
             "bg_u8": bg,
             "apply_bgmix": apply_bgmix,
@@ -454,6 +497,9 @@ class FastBGMixLoader:
             "flip": flip,
             "label": labels,
         }
+        if weights is not None:
+            out["sample_weight"] = weights
+        return out
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.video_infos)
@@ -461,9 +507,32 @@ class FastBGMixLoader:
         if self.shuffle:
             rng = np.random.default_rng(np.random.SeedSequence([self.seed, self.epoch]))
             rng.shuffle(indices)
-        batches = [indices[i : i + self.batch_size] for i in range(0, n, self.batch_size)]
-        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+        batches = [
+            (indices[i : i + self.batch_size], None) for i in range(0, n, self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1][0]) < self.batch_size:
             batches.pop()
+        elif self.pad_to_batch and batches and len(batches[-1][0]) < self.batch_size:
+            # wrap-pad the short tail and mark pad rows (sample_weight 0),
+            # keeping batch shapes static for jit like data/loader.py:87-96
+            short = batches[-1][0]
+            pad = indices[: self.batch_size - len(short)]
+            while len(short) + len(pad) < self.batch_size:  # tiny datasets
+                pad = np.concatenate([pad, pad])[: self.batch_size - len(short)]
+            batches[-1] = (np.concatenate([short, pad]), len(short))
+        if self.pad_to_batch:
+            batches = [
+                (idxs, np.where(np.arange(len(idxs)) < (nv if nv is not None else len(idxs)),
+                                np.float32(1), np.float32(0)))
+                for idxs, nv in batches
+            ]
+        if self.process_count > 1:
+            per = self.batch_size // self.process_count
+            lo = self.process_index * per
+            batches = [
+                (idxs[lo : lo + per], None if w is None else w[lo : lo + per])
+                for idxs, w in batches
+            ]
 
         # single producer thread keeps one batch decoding while the device
         # trains on the previous one (the C++ kernel releases the GIL)
@@ -473,8 +542,8 @@ class FastBGMixLoader:
 
         def producer():
             try:
-                for bidx in batches:
-                    q.put(self._make_batch(bidx))
+                for bidx, w in batches:
+                    q.put(self._make_batch(bidx, w))
             except BaseException as e:  # re-raised in the consumer
                 error.append(e)
             finally:

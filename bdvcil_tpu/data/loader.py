@@ -53,9 +53,11 @@ class DataLoader:
         seed: int = 0,
         prefetch_batches: int = 2,
         pad_to_batch: bool = False,
+        process_index: int = None,
+        process_count: int = None,
     ):
         self.dataset = dataset
-        self.batch_size = batch_size
+        self.batch_size = batch_size  # GLOBAL batch size
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
@@ -66,6 +68,20 @@ class DataLoader:
         # reference's variable last batch while batch shapes stay static for
         # jit and mesh-divisible for sharding
         self.pad_to_batch = pad_to_batch
+        # multi-process: every process computes the same global batch order
+        # (seeded shuffle) and loads only its contiguous row slice; the
+        # runtime reassembles the global batch on the mesh (parallel/mesh.py
+        # shard_batch). Replaces the reference's DistributedSampler shards.
+        if process_count is None:
+            import jax
+
+            process_count = jax.process_count()
+            process_index = jax.process_index()
+        self.process_count = max(1, process_count)
+        self.process_index = process_index or 0
+        if self.process_count > 1:
+            assert batch_size % self.process_count == 0, (batch_size, self.process_count)
+            self.pad_to_batch = self.pad_to_batch or not self.drop_last
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -105,18 +121,25 @@ class DataLoader:
         batches = self._batch_indices()
         if not batches:
             return
+        # per-process contiguous slice of every global batch
+        if self.process_count > 1:
+            per = self.batch_size // self.process_count
+            lo = self.process_index * per
+            slices = [(idxs[lo : lo + per], lo, lo + per) for idxs in batches]
+        else:
+            slices = [(idxs, 0, len(idxs)) for idxs in batches]
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             # pipeline: submit up to prefetch_batches batches ahead
             pending: "queue.Queue" = queue.Queue()
-            it = iter(batches)
+            it = iter(slices)
 
             def submit_next():
                 try:
-                    idxs = next(it)
+                    idxs, lo, hi = next(it)
                 except StopIteration:
                     return False
                 futures = [pool.submit(self.dataset.__getitem__, int(i)) for i in idxs]
-                pending.put(futures)
+                pending.put((futures, lo, hi))
                 return True
 
             ahead = 1 + self.prefetch_batches
@@ -125,14 +148,15 @@ class DataLoader:
                     break
             batch_idx = 0
             while not pending.empty():
-                futures = pending.get()
+                futures, lo, hi = pending.get()
                 samples = [f.result() for f in futures]
                 submit_next()
                 batch = collate(samples)
                 if self.pad_to_batch:
-                    weights = np.ones(len(samples), np.float32)
+                    # weights over the GLOBAL batch row range, sliced locally
+                    weights = np.ones(self.batch_size, np.float32)
                     if batch_idx == len(batches) - 1 and self._last_valid is not None:
                         weights[self._last_valid :] = 0.0
-                    batch["sample_weight"] = weights
+                    batch["sample_weight"] = weights[lo:hi]
                 batch_idx += 1
                 yield batch

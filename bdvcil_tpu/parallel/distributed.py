@@ -31,9 +31,26 @@ def initialize(
     process_id: Optional[int] = None,
 ) -> None:
     """jax.distributed.initialize with env-var fallbacks (no-op if already
-    initialized or single-process)."""
-    if jax.process_count() > 1:
+    initialized or single-process).
+
+    Called from every CLI entry point (cil_tools/*, tools/train.py). On TPU
+    pod slices jax auto-detects the topology; for manual launches (and the
+    CPU multi-process tests) set BDVC_COORDINATOR_ADDRESS,
+    BDVC_NUM_PROCESSES and BDVC_PROCESS_ID. Replaces the reference's
+    init_dist/NCCL launchers (tools/train.py:74-78, :128-135).
+    """
+    import os
+
+    # Do NOT touch jax.process_count()/jax.devices() here: querying devices
+    # initializes the single-process backend and makes a later
+    # jax.distributed.initialize a silent no-op.
+    if jax.distributed.is_initialized():
         return
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("BDVC_COORDINATOR_ADDRESS")
+        if coordinator_address is not None:
+            num_processes = int(os.environ["BDVC_NUM_PROCESSES"])
+            process_id = int(os.environ["BDVC_PROCESS_ID"])
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(

@@ -53,12 +53,25 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis_name: str = "data") -> D
 
     Batch sizes must be divisible by the mesh size; callers pad with
     ``pad_to_multiple`` and carry a valid mask. Non-array fields pass through.
+
+    Multi-process: each process passes its LOCAL rows of the global batch
+    (the loaders shard batches per process, data/loader.py) and the global
+    array is assembled over the full mesh via
+    ``jax.make_array_from_process_local_data`` — the TPU-native replacement
+    for the reference's per-rank DistributedSampler shards (SURVEY.md §2.4).
     """
     sharding = batch_sharding(mesh, axis_name)
+    nproc = jax.process_count()
     out = {}
     for key, value in batch.items():
         if isinstance(value, np.ndarray) and value.dtype != object:
-            out[key] = jax.device_put(value, sharding)
+            if nproc > 1:
+                global_shape = (value.shape[0] * nproc,) + value.shape[1:]
+                out[key] = jax.make_array_from_process_local_data(
+                    sharding, np.ascontiguousarray(value), global_shape
+                )
+            else:
+                out[key] = jax.device_put(value, sharding)
         else:
             out[key] = value
     return out
@@ -66,3 +79,17 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis_name: str = "data") -> D
 
 def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, replicated_sharding(mesh))
+
+
+def gather_to_host(x, mesh: Mesh) -> np.ndarray:
+    """Bring a (possibly data-sharded) global array fully to this host.
+
+    Single-process: plain device_get. Multi-process: an identity jit with
+    replicated out_sharding performs the all-gather over ICI/DCN, after which
+    every process can read the full value — replacing the reference's
+    per-rank prediction files + host merge (cil.py:1092-1126).
+    """
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    replicated = jax.jit(lambda a: a, out_shardings=replicated_sharding(mesh))(x)
+    return np.asarray(jax.device_get(replicated.addressable_data(0)))

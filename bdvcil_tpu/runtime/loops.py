@@ -66,11 +66,14 @@ def train_epochs(
             labels = batch["label"]
             extra = _extra_fields(batch)
             # padded tail batches carry sample_weight==0 on pad rows; the
-            # north-star clips/s meter must count valid rows only
+            # north-star clips/s meter must count valid rows only. Batches
+            # are process-local: scale by process_count for the global rate
+            # (exact except for pad-row skew on the final batch).
             if "sample_weight" in batch:
                 n_valid = int(np.asarray(batch["sample_weight"]).sum())
             else:
                 n_valid = int(np.shape(labels)[0])
+            n_valid *= jax.process_count()
             if mesh is not None:
                 imgs_d = imgs if isinstance(imgs, dict) else {"imgs": imgs}
                 put = shard_batch({**imgs_d, "label": labels, **extra}, mesh)
@@ -124,7 +127,16 @@ def run_inference(
     Returns host arrays in dataset order:
       cls_score (N, G, nc) raw scores, labels (N,), repr (N, G, C) when
       requested (already L2-normalized by the eval step).
+
+    Multi-process: each process feeds its local slice of globally padded
+    batches (loaders shard per process), the step runs over the global mesh,
+    and outputs are all-gathered on device (parallel/mesh.gather_to_host) —
+    replacing the reference's per-rank prediction files + host merge
+    (cil.py:1092-1126). Trimmed to ``loader.num_valid`` rows.
     """
+    if jax.process_count() > 1:
+        return _run_inference_multiprocess(eval_step, variables, loader, mesh, extract_repr)
+
     scores: List[np.ndarray] = []
     labels_out: List[np.ndarray] = []
     reprs: List[np.ndarray] = []
@@ -154,4 +166,39 @@ def run_inference(
     }
     if extract_repr:
         result["repr"] = np.concatenate(reprs, axis=0)
+    return result
+
+
+def _run_inference_multiprocess(
+    eval_step, variables, loader, mesh, extract_repr: bool
+) -> Dict[str, np.ndarray]:
+    from ..parallel.mesh import gather_to_host
+
+    assert mesh is not None, "multi-process inference needs the global mesh"
+    scores: List[np.ndarray] = []
+    labels_out: List[np.ndarray] = []
+    reprs: List[np.ndarray] = []
+    for batch in loader:
+        put = shard_batch(
+            {
+                "imgs": np.asarray(batch["imgs"]),
+                "label": np.asarray(batch["label"]).reshape(-1),
+            },
+            mesh,
+        )
+        out = eval_step(variables, put["imgs"])
+        scores.append(gather_to_host(out["cls_score"], mesh))
+        labels_out.append(gather_to_host(put["label"], mesh))
+        if extract_repr:
+            reprs.append(gather_to_host(out["repr"], mesh))
+
+    n_valid = getattr(loader, "num_valid", None)
+    if n_valid is None and hasattr(loader, "dataset"):
+        n_valid = len(loader.dataset)
+    result = {
+        "cls_score": np.concatenate(scores, axis=0)[:n_valid],
+        "labels": np.concatenate(labels_out, axis=0)[:n_valid],
+    }
+    if extract_repr:
+        result["repr"] = np.concatenate(reprs, axis=0)[:n_valid]
     return result

@@ -29,6 +29,9 @@ def parse_args():
 
 
 def main():
+    from bdvcil_tpu.parallel import distributed
+
+    distributed.initialize()  # multi-host rendezvous (no-op single-process)
     args, cfg_dict = parse_args()
     config = Config.fromfile(args.config)
     config.merge_from_dict(cfg_dict)

@@ -8,6 +8,11 @@ incremental loop on the device mesh.
 Usage:
     python cil_tools/train_cil.py configs/ucf101/bgmix_plus_randAug/seed_1000_inc_10.py \
         --work_dir work_dirs/exp --use_cbf --budget_size 5
+
+Deliberate divergence from the reference CLI: boolean flags and --alpha /
+--log_every_n_steps only override the config when explicitly passed (the
+reference's argparse defaults always clobbered config values, making e.g.
+`use_cbf = True` in a config file dead).
 """
 
 import argparse
@@ -34,17 +39,17 @@ def parse_args():
         help="resume from task i; checkpoints/exemplars are reloaded from work_dir",
     )
     parser.add_argument("--ending_task", type=int, help="stop after this task")
-    parser.add_argument("--use_cbf", action="store_true", help="class-balanced fine-tuning")
-    parser.add_argument("--cbf_train_backbone", action="store_true")
-    parser.add_argument("--keep_all_backgrounds", action="store_true")
-    parser.add_argument("--cbf_full_bg", action="store_true")
+    parser.add_argument("--use_cbf", action="store_true", default=None, help="class-balanced fine-tuning")
+    parser.add_argument("--cbf_train_backbone", action="store_true", default=None)
+    parser.add_argument("--keep_all_backgrounds", action="store_true", default=None)
+    parser.add_argument("--cbf_full_bg", action="store_true", default=None)
     parser.add_argument("--budget_size", type=int)
-    parser.add_argument("--alpha", default=0.5, type=float)
+    parser.add_argument("--alpha", type=float)  # default: config value
     parser.add_argument("--num_epochs_per_task", type=int)
     parser.add_argument("--cbf_num_epochs_per_task", type=int)
-    parser.add_argument("--kd_exemplar_only", action="store_true")
+    parser.add_argument("--kd_exemplar_only", action="store_true", default=None)
     parser.add_argument("--log_every_n_steps", type=int)  # default: config value
-    parser.add_argument("--save_best", action="store_true", help="validate every epoch, keep best")
+    parser.add_argument("--save_best", action="store_true", default=None, help="validate every epoch, keep best")
     parser.add_argument("--seed", type=int)
     parser.add_argument("--compute_dtype", choices=["float32", "bfloat16"])
     args = parser.parse_args()
@@ -56,10 +61,13 @@ def parse_args():
 
 
 def main():
+    from bdvcil_tpu.parallel import distributed
+
+    distributed.initialize()  # multi-host rendezvous (no-op single-process)
     args, cfg_dict = parse_args()
     config = Config.fromfile(args.config)
     config.merge_from_dict(cfg_dict)
-    if "train" in config.data and "alpha" in config.data.train:
+    if "train" in config.data and "alpha" in config.data.train and "alpha" in config:
         config.data.train.alpha = config.alpha
 
     from bdvcil_tpu.cil import CILTrainer

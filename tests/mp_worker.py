@@ -1,0 +1,142 @@
+"""Standalone worker for the multi-process (multi-host) equivalence test.
+
+Launched by tests/test_multiprocess.py as N separate python processes, each
+given 4 virtual CPU devices (xla_force_host_platform_device_count) and a
+shared coordinator (BDVC_COORDINATOR_ADDRESS env contract,
+parallel/distributed.initialize). Runs the SAME deterministic training +
+inference workload regardless of process count and dumps result checksums
+as JSON — the parent asserts 2-process x 4-device == 1-process x 8-device.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class ArrDataset:
+    """Deterministic in-memory dataset: sample i is a fixed normal clip."""
+
+    def __init__(self, n: int, t: int = 2, size: int = 32, nc: int = 4):
+        self.n, self.t, self.size, self.nc = n, t, size, nc
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        import numpy as np
+
+        rng = np.random.default_rng(1000 + i)
+        return {
+            "imgs": rng.normal(size=(self.t, self.size, self.size, 3)).astype(np.float32),
+            "label": np.array([i % self.nc], np.int64),
+        }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--epochs", type=int, default=1)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from bdvcil_tpu.parallel import distributed, make_mesh
+
+    distributed.initialize()
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bdvcil_tpu.data.loader import DataLoader
+    from bdvcil_tpu.models import build_model, init_model_params
+    from bdvcil_tpu.optim import build_optimizer
+    from bdvcil_tpu.runtime import TrainState, make_eval_step, make_train_step
+    from bdvcil_tpu.runtime.loops import run_inference, train_epochs
+
+    assert jax.device_count() == 8, jax.devices()
+    mesh = make_mesh()
+    t_seg, nc = 2, 4
+
+    cfg = dict(
+        type="CILRecognizer2D",
+        backbone=dict(type="ResNetTSM", depth=18, num_segments=t_seg, shift_div=8),
+        cls_head=dict(
+            type="IncrementalTSMHead",
+            num_classes=nc,
+            in_channels=512,
+            inc_head_config=dict(
+                type="LocalSimilarityClassifier", out_features=nc, nb_proxies=1
+            ),
+            num_segments=t_seg,
+            loss_cls=dict(type="LSCLoss"),
+            dropout_ratio=0.5,
+        ),
+        test_cfg=dict(average_clips="prob"),
+    )
+    spec = build_model(cfg)
+    variables = init_model_params(spec, jax.random.PRNGKey(0), (1, t_seg, 32, 32, 3))
+    tx = build_optimizer(
+        variables["params"],
+        dict(type="SGD", constructor="CILTSMOptimizerConstructorImprovised",
+             paramwise_cfg=dict(fc_lr_scale_factor=5.0), lr=0.01, momentum=0.9,
+             weight_decay=1e-4),
+    )
+    state = TrainState.create(variables, tx)
+
+    # inference gather BEFORE training: per-row deterministic, so the
+    # 2-process result must match single-process near-bitwise
+    eval_loader = DataLoader(
+        ArrDataset(10, t=t_seg, nc=nc), batch_size=8, shuffle=False, num_workers=2
+    )
+    eval_step = make_eval_step(spec, num_classes=nc)
+    pre = run_inference(eval_step, variables, eval_loader, mesh=mesh, extract_repr=True)
+
+    # 20 samples, global batch 8 -> 2 full steps/epoch + 1 padded tail step
+    loader = DataLoader(
+        ArrDataset(20, t=t_seg, nc=nc), batch_size=8, shuffle=True, seed=7,
+        num_workers=2, drop_last=False, pad_to_batch=True,
+    )
+    step = make_train_step(spec, tx, num_classes=nc, method="base", task_idx=0)
+    state, metrics = train_epochs(
+        step, state, None, loader, num_epochs=args.epochs,
+        rng_key=jax.random.PRNGKey(1), mesh=mesh, log_every_n_steps=100,
+    )
+
+    params_sum = float(
+        sum(jnp.sum(jnp.abs(x.astype(jnp.float32))) for x in jax.tree.leaves(state.params))
+    )
+
+    pred = run_inference(
+        eval_step,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        eval_loader,
+        mesh=mesh,
+        extract_repr=True,
+    )
+
+    out = {
+        "pre_scores_first": np.asarray(pre["cls_score"][0]).reshape(-1).tolist(),
+        "pre_scores_sum": float(np.abs(pre["cls_score"]).sum()),
+        "pre_repr_sum": float(np.abs(pre["repr"]).sum()),
+        "pre_labels": np.asarray(pre["labels"]).tolist(),
+        "process_index": int(jax.process_index()),
+        "process_count": int(jax.process_count()),
+        "final_loss": float(metrics.get("loss", float("nan"))),
+        "params_sum": params_sum,
+        "pred_n": int(pred["cls_score"].shape[0]),
+        "labels": np.asarray(pred["labels"]).tolist(),
+        "scores_sum": float(np.abs(pred["cls_score"]).sum()),
+        "scores_first": np.asarray(pred["cls_score"][0]).reshape(-1).tolist(),
+        "repr_sum": float(np.abs(pred["repr"]).sum()),
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f)
+
+
+if __name__ == "__main__":
+    main()

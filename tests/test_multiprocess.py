@@ -1,0 +1,164 @@
+"""Multi-host execution wiring test (VERDICT round-1 Missing #1).
+
+Launches tests/mp_worker.py as 2 coordinated processes with 4 virtual CPU
+devices each (jax.distributed over a localhost coordinator) and as a single
+8-device process, then asserts the training updates and the gathered
+inference results are identical — proving the per-process loader sharding,
+global-mesh batch assembly (make_array_from_process_local_data), and the
+on-device result gather produce exactly the single-controller semantics.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import pathlib
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+WORKER = REPO / "tests" / "mp_worker.py"
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _worker_env(devices: int, coord=None, nproc=None, pid=None):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={devices}"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+    for k in ("BDVC_COORDINATOR_ADDRESS", "BDVC_NUM_PROCESSES", "BDVC_PROCESS_ID"):
+        env.pop(k, None)
+    if coord is not None:
+        env["BDVC_COORDINATOR_ADDRESS"] = coord
+        env["BDVC_NUM_PROCESSES"] = str(nproc)
+        env["BDVC_PROCESS_ID"] = str(pid)
+    return env
+
+
+def _run(cmd, env, timeout=900):
+    return subprocess.run(
+        cmd, env=env, capture_output=True, text=True, timeout=timeout
+    )
+
+
+@pytest.mark.slow
+def test_two_process_matches_single_process(tmp_path):
+    out_single = tmp_path / "single.json"
+    r = _run(
+        [sys.executable, str(WORKER), "--out", str(out_single)],
+        _worker_env(devices=8),
+    )
+    assert r.returncode == 0, r.stderr[-4000:]
+    single = json.loads(out_single.read_text())
+    assert single["process_count"] == 1 and single["pred_n"] == 10
+
+    coord = f"127.0.0.1:{_free_port()}"
+    procs = []
+    outs = [tmp_path / f"mp_{i}.json" for i in range(2)]
+    for i in range(2):
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(WORKER), "--out", str(outs[i])],
+                env=_worker_env(devices=4, coord=coord, nproc=2, pid=i),
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, stderr[-4000:]
+
+    results = [json.loads(o.read_text()) for o in outs]
+    for rank, res in enumerate(results):
+        assert res["process_count"] == 2
+        assert res["process_index"] == rank
+        # inference gather on identical params: per-row deterministic ->
+        # every process must see the full dataset-order results, equal to
+        # the single-process run near-bitwise
+        assert res["pre_labels"] == single["pre_labels"]
+        np.testing.assert_allclose(
+            res["pre_scores_first"], single["pre_scores_first"], rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(res["pre_scores_sum"], single["pre_scores_sum"], rtol=1e-5)
+        np.testing.assert_allclose(res["pre_repr_sum"], single["pre_repr_sum"], rtol=1e-5)
+        # training equivalence: the all-reduce order differs across process
+        # layouts, so allow fp-noise amplification over the epoch (step-0
+        # losses agree to ~1e-7 relative; see VERDICT item #2 work log)
+        np.testing.assert_allclose(res["final_loss"], single["final_loss"], rtol=2e-2)
+        np.testing.assert_allclose(res["params_sum"], single["params_sum"], rtol=1e-3)
+        assert res["pred_n"] == single["pred_n"]
+        assert res["labels"] == single["labels"]
+        np.testing.assert_allclose(res["scores_sum"], single["scores_sum"], rtol=2e-2)
+
+
+@pytest.mark.slow
+def test_two_process_cil_cli_smoke(tmp_path):
+    """Full CIL training through the real CLI on 2 coordinated processes:
+    exercises per-process loader sharding inside CILTrainer, the multi-process
+    inference gather in herding/NME/testing, and the rank-0 file-write guards
+    (ann files, checkpoints, result tables written exactly once)."""
+    from bdvcil_tpu.config import Config  # noqa: F401 (env already cpu via conftest)
+    from tests.synthetic import make_rawframe_tree
+    from tests.test_cil_e2e import make_cil_config
+
+    root = tmp_path / "data"
+    frames_root, train_ann, val_ann = make_rawframe_tree(
+        root, num_classes=4, videos_per_class=5, num_frames=8, size=(70, 92)
+    )
+    work_dir = tmp_path / "work"
+    cfg = make_cil_config(
+        root, frames_root, train_ann, val_ann, work_dir,
+        ending_task=1, num_epochs_per_task=1, videos_per_gpu=2,
+    )
+    cfg_path = tmp_path / "config.py"
+    cfg.dump(str(cfg_path))
+
+    coord = f"127.0.0.1:{_free_port()}"
+    procs = []
+    for i in range(2):
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(REPO / "cil_tools" / "train_cil.py"), str(cfg_path)],
+                env=_worker_env(devices=4, coord=coord, nproc=2, pid=i),
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    errs = []
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=1500)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        errs.append(stderr)
+    for p, stderr in zip(procs, errs):
+        assert p.returncode == 0, stderr[-5000:]
+
+    # rank-0 artifacts exist exactly once (shared work_dir)
+    assert (work_dir / "ckpt" / "ckpt_task_0.msgpack").exists()
+    assert (work_dir / "ckpt" / "ckpt_task_1.msgpack").exists()
+    assert (work_dir / "task_splits" / "train_task_0.txt").exists()
+    assert (work_dir / "exemplar" / "exemplar_task_1.txt").exists()
+    assert (work_dir / "config.py").exists()
+    assert (work_dir / "metrics.jsonl").exists()
+    # both ranks logged per-task accuracies (gathered results on every rank)
+    for stderr in errs:
+        assert "Accuracies (CNN)" in stderr or "Accuracies (CNN)" in stdout

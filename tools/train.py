@@ -38,6 +38,9 @@ def parse_args():
 
 
 def main():
+    from bdvcil_tpu.parallel import distributed
+
+    distributed.initialize()  # multi-host rendezvous (no-op single-process)
     args = parse_args()
     cfg = Config.fromfile(args.config)
     overrides = {}
