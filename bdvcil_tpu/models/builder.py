@@ -81,6 +81,14 @@ def build_model(cfg: Dict[str, Any], dtype: Any = jnp.float32) -> ModelSpec:
         shift_mode=b.get("shift_mode", "pad"),
         stem_mode=b.get("stem_mode", "conv"),
         pretrained=b.get("pretrained"),
+        # bn_groups: 1 = global-batch stats (SPMD default); an int sets the
+        # number of contiguous stat groups; 'per_device' resolves to the
+        # device count = the reference's per-GPU no-SyncBN semantics
+        bn_groups=(
+            len(jax.devices())
+            if b.get("bn_groups") == "per_device"
+            else int(b.get("bn_groups", 1))
+        ),
     )
     if "norm_dtype" in b:
         backbone_kwargs["norm_dtype"] = {

@@ -17,6 +17,7 @@ recommended on TPU); parameters and batch-norm statistics stay float32.
 
 from __future__ import annotations
 
+from .norm import GroupedBatchNorm
 from typing import Any, Dict, Optional
 
 import flax.linen as nn
@@ -108,6 +109,21 @@ class _S2DStem(nn.Module):
         )
 
 
+def _make_bn(use_running_average: bool, norm_dtype, name: str, groups: int):
+    """flax BatchNorm (global-batch statistics, the SPMD default) or
+    GroupedBatchNorm when bn_groups > 1 (reference per-GPU BN semantics,
+    models/norm.py)."""
+    if groups > 1:
+        return GroupedBatchNorm(
+            use_running_average=use_running_average, momentum=0.9, epsilon=1e-5,
+            dtype=norm_dtype, groups=groups, name=name,
+        )
+    return nn.BatchNorm(
+        use_running_average=use_running_average, momentum=0.9, epsilon=1e-5,
+        dtype=norm_dtype, name=name,
+    )
+
+
 class _BasicBlock(nn.Module):
     planes: int
     stride: int
@@ -117,6 +133,7 @@ class _BasicBlock(nn.Module):
     dtype: Any
     norm_dtype: Any = jnp.float32
     shift_mode: str = "pad"
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool, x_shifted=None):
@@ -141,23 +158,18 @@ class _BasicBlock(nn.Module):
                 self.planes, (3, 3), strides=(self.stride, self.stride),
                 padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv1",
             )(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=self.norm_dtype, name="bn1")(h)
+        h = _make_bn(not train, self.norm_dtype, "bn1", self.bn_groups)(h)
         h = nn.relu(h)
         h = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype, name="conv2")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=self.norm_dtype, name="bn2")(h)
+        h = _make_bn(not train, self.norm_dtype, "bn2", self.bn_groups)(h)
 
         if self.stride != 1 or identity.shape[-1] != self.planes:
             identity = nn.Conv(
                 self.planes, (1, 1), strides=(self.stride, self.stride), use_bias=False,
                 dtype=self.dtype, name="downsample_conv",
             )(identity)
-            identity = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.norm_dtype, name="downsample_bn",
-            )(identity)
+            identity = _make_bn(not train, self.norm_dtype, "downsample_bn", self.bn_groups)(identity)
         if fused_block:
             return fused_residual_relu_shift(
                 h, identity.astype(h.dtype), self.num_segments, self.shift_div,
@@ -175,6 +187,7 @@ class _Bottleneck(nn.Module):
     dtype: Any
     norm_dtype: Any = jnp.float32
     shift_mode: str = "pad"
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool, x_shifted=None):
@@ -193,28 +206,22 @@ class _Bottleneck(nn.Module):
             if self.is_shift:
                 h = temporal_shift(h, self.num_segments, self.shift_div)
             h = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=self.norm_dtype, name="bn1")(h)
+        h = _make_bn(not train, self.norm_dtype, "bn1", self.bn_groups)(h)
         h = nn.relu(h)
         # stride on the 3x3 (torch / mmaction2 'pytorch' style)
         h = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                     padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv2")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=self.norm_dtype, name="bn2")(h)
+        h = _make_bn(not train, self.norm_dtype, "bn2", self.bn_groups)(h)
         h = nn.relu(h)
         h = nn.Conv(out_planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=self.norm_dtype, name="bn3")(h)
+        h = _make_bn(not train, self.norm_dtype, "bn3", self.bn_groups)(h)
 
         if self.stride != 1 or identity.shape[-1] != out_planes:
             identity = nn.Conv(
                 out_planes, (1, 1), strides=(self.stride, self.stride), use_bias=False,
                 dtype=self.dtype, name="downsample_conv",
             )(identity)
-            identity = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.norm_dtype, name="downsample_bn",
-            )(identity)
+            identity = _make_bn(not train, self.norm_dtype, "downsample_bn", self.bn_groups)(identity)
         if fused_block:
             return fused_residual_relu_shift(
                 h, identity.astype(h.dtype), self.num_segments, self.shift_div,
@@ -239,6 +246,10 @@ class ResNetTSM(nn.Module):
     # 'conv' = plain 7x7/s2 stem; 's2d' = exactly-equivalent space-to-depth
     # stem (same param layout; see _S2DStem)
     stem_mode: str = "conv"
+    # >1: train-mode BN statistics over contiguous row groups instead of the
+    # global batch — set to the data-mesh size for the reference's per-GPU
+    # (no-SyncBN) semantics (models/norm.py; round-1 VERDICT Weak #5)
+    bn_groups: int = 1
     pretrained: Optional[str] = None  # recorded for config parity; loading is
     # done offline via models.pretrained.load_torch_resnet_backbone
 
@@ -255,8 +266,7 @@ class ResNetTSM(nn.Module):
         else:
             h = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                         use_bias=False, dtype=self.dtype, name="conv1")(h)
-        h = nn.BatchNorm(use_running_average=not bn_train, momentum=0.9, epsilon=1e-5,
-                         dtype=self.norm_dtype, name="bn1")(h)
+        h = _make_bn(not bn_train, self.norm_dtype, "bn1", self.bn_groups)(h)
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -280,6 +290,7 @@ class ResNetTSM(nn.Module):
                     dtype=self.dtype,
                     norm_dtype=self.norm_dtype,
                     shift_mode=self.shift_mode,
+                    bn_groups=self.bn_groups,
                     name=f"layer{stage_idx + 1}_{block_idx}",
                 )
                 if fused_block:
