@@ -80,6 +80,9 @@ def build_model(cfg: Dict[str, Any], dtype: Any = jnp.float32) -> ModelSpec:
         # vs 316 no-shift ablation — XLA already overlaps the shift copies well
         shift_mode=b.get("shift_mode", "pad"),
         stem_mode=b.get("stem_mode", "conv"),
+        # bottleneck 1x1 convs: 'xla' or 'pallas_stats' (Pallas GEMM with a
+        # BN-statistics epilogue, ops/conv1x1_bn.py)
+        conv1x1_mode=b.get("conv1x1_mode", "xla"),
         pretrained=b.get("pretrained"),
         # bn_groups: 1 = global-batch stats (SPMD default); an int sets the
         # number of contiguous stat groups; 'per_device' resolves to the

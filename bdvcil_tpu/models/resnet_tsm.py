@@ -18,6 +18,7 @@ recommended on TPU); parameters and batch-norm statistics stay float32.
 from __future__ import annotations
 
 from .norm import GroupedBatchNorm
+from ..ops.conv1x1_bn import conv1x1_bn
 from typing import Any, Dict, Optional
 
 import flax.linen as nn
@@ -188,12 +189,22 @@ class _Bottleneck(nn.Module):
     norm_dtype: Any = jnp.float32
     shift_mode: str = "pad"
     bn_groups: int = 1
+    conv1x1_mode: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool, x_shifted=None):
         fused_block = self.is_shift and self.shift_mode == "fused_block"
         identity = x
         out_planes = self.planes * 4
+        # 'pallas_stats': conv1/conv3 run as Pallas GEMMs whose epilogue
+        # emits the BN statistics, removing XLA's separate full-tensor
+        # stats pass (ops/conv1x1_bn.py). Exact-equivalence tested.
+        use_pallas_1x1 = (
+            self.conv1x1_mode in ("pallas_stats", "pallas_stats_interpret")
+            and self.shift_mode == "pad"
+            and self.bn_groups == 1
+        )
+        interp_1x1 = self.conv1x1_mode == "pallas_stats_interpret"
         if fused_block:
             h = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x_shifted)
         elif self.is_shift and self.shift_mode == "fused":
@@ -205,16 +216,25 @@ class _Bottleneck(nn.Module):
             h = x
             if self.is_shift:
                 h = temporal_shift(h, self.num_segments, self.shift_div)
-            h = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(h)
-        h = _make_bn(not train, self.norm_dtype, "bn1", self.bn_groups)(h)
+            if use_pallas_1x1:
+                h = conv1x1_bn(h, self.planes, "conv1", "bn1", train, self.dtype,
+                               self.norm_dtype, interpret=interp_1x1)
+            else:
+                h = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(h)
+        if not use_pallas_1x1:  # conv1x1_bn already normalized
+            h = _make_bn(not train, self.norm_dtype, "bn1", self.bn_groups)(h)
         h = nn.relu(h)
         # stride on the 3x3 (torch / mmaction2 'pytorch' style)
         h = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                     padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype, name="conv2")(h)
         h = _make_bn(not train, self.norm_dtype, "bn2", self.bn_groups)(h)
         h = nn.relu(h)
-        h = nn.Conv(out_planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(h)
-        h = _make_bn(not train, self.norm_dtype, "bn3", self.bn_groups)(h)
+        if use_pallas_1x1:
+            h = conv1x1_bn(h, out_planes, "conv3", "bn3", train, self.dtype,
+                           self.norm_dtype, interpret=interp_1x1)
+        else:
+            h = nn.Conv(out_planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(h)
+            h = _make_bn(not train, self.norm_dtype, "bn3", self.bn_groups)(h)
 
         if self.stride != 1 or identity.shape[-1] != out_planes:
             identity = nn.Conv(
@@ -250,6 +270,9 @@ class ResNetTSM(nn.Module):
     # global batch — set to the data-mesh size for the reference's per-GPU
     # (no-SyncBN) semantics (models/norm.py; round-1 VERDICT Weak #5)
     bn_groups: int = 1
+    # 'xla' | 'pallas_stats': bottleneck 1x1 convs as Pallas GEMMs with a
+    # BN-statistics epilogue (ops/conv1x1_bn.py); '..._interpret' for CPU tests
+    conv1x1_mode: str = "xla"
     pretrained: Optional[str] = None  # recorded for config parity; loading is
     # done offline via models.pretrained.load_torch_resnet_backbone
 
@@ -291,6 +314,7 @@ class ResNetTSM(nn.Module):
                     norm_dtype=self.norm_dtype,
                     shift_mode=self.shift_mode,
                     bn_groups=self.bn_groups,
+                    **({"conv1x1_mode": self.conv1x1_mode} if block_kind == "bottleneck" else {}),
                     name=f"layer{stage_idx + 1}_{block_idx}",
                 )
                 if fused_block:

@@ -209,6 +209,10 @@ def main():
         backbone["is_shift"] = False
     if os.environ.get("BENCH_STEM_MODE"):  # 'conv' | 's2d'
         backbone["stem_mode"] = os.environ["BENCH_STEM_MODE"]
+    if os.environ.get("BENCH_CONV1X1"):  # 'xla' | 'pallas_stats'
+        backbone["conv1x1_mode"] = os.environ["BENCH_CONV1X1"]
+    if os.environ.get("BENCH_BN_GROUPS"):
+        backbone["bn_groups"] = int(os.environ["BENCH_BN_GROUPS"])
     model_cfg = dict(
         type="CILRecognizer2D",
         backbone=backbone,
