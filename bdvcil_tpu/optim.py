@@ -130,6 +130,61 @@ def build_lr_factor_fn(
     raise KeyError(f"unknown lr scheduler {kind!r}")
 
 
+def _fused_labeled_sgd(
+    labels,
+    base_lr: float,
+    momentum: float,
+    weight_decay: float,
+    fc_scale: float,
+    factor_table,
+    steps_per_epoch: int,
+) -> optax.GradientTransformation:
+    """The whole 6-group SGD policy as ONE per-leaf fused update.
+
+    optax.multi_transform + per-group chains emit ~10 separate elementwise
+    passes over the parameter tree per step (wd, trace, schedule-scale per
+    group); this computes torch-SGD semantics (grad += wd*w; buf = mu*buf +
+    grad; update = -lr*buf) in a single tree_map so XLA fuses each leaf's
+    update into one multiply_add pass. Same math, same state shape as
+    optax.trace (momentum pytree).
+    """
+    label_leaves = labels
+    spe = max(1, steps_per_epoch)
+
+    def init(params):
+        return {
+            "momentum": jax.tree.map(jnp.zeros_like, params),
+            "count": jnp.zeros((), jnp.int32),
+        }
+
+    def update(grads, state, params=None):
+        assert params is not None
+        factor = factor_table[jnp.clip(state["count"] // spe, 0, factor_table.shape[0] - 1)]
+
+        def leaf(path_label, g, m, p):
+            if path_label == "frozen":
+                return jnp.zeros_like(p), m
+            mult_fn, use_wd = GROUP_POLICY[path_label]
+            g32 = g.astype(jnp.float32)
+            if use_wd and weight_decay:
+                g32 = g32 + weight_decay * p.astype(jnp.float32)
+            m_new = momentum * m + g32 if momentum else g32
+            upd = (-base_lr * mult_fn(fc_scale)) * factor * m_new
+            return upd.astype(p.dtype), m_new
+
+        flat_labels = jax.tree.leaves(label_leaves)
+        flat_g = jax.tree.leaves(grads)
+        flat_m = jax.tree.leaves(state["momentum"])
+        flat_p = jax.tree.leaves(params)
+        outs = [leaf(l, g, m, p) for l, g, m, p in zip(flat_labels, flat_g, flat_m, flat_p)]
+        treedef = jax.tree.structure(grads)
+        updates = jax.tree.unflatten(treedef, [o[0] for o in outs])
+        new_m = jax.tree.unflatten(treedef, [o[1] for o in outs])
+        return updates, {"momentum": new_m, "count": state["count"] + 1}
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(
     params: Mapping,
     optimizer_cfg: Mapping,
@@ -138,6 +193,7 @@ def build_optimizer(
     grad_clip: Optional[float] = None,
     accumulate_steps: int = 1,
     freeze_backbone: bool = False,
+    fused: bool = True,
 ) -> optax.GradientTransformation:
     """Build the labeled SGD chain from a reference-shaped optimizer config:
 
@@ -175,24 +231,30 @@ def build_optimizer(
     def _factor_traced(epoch):
         return table[jnp.clip(epoch, 0, MAX_EPOCHS - 1)]
 
-    transforms = {}
-    for label, (mult_fn, use_wd) in GROUP_POLICY.items():
-        chain = []
-        if use_wd and weight_decay:
-            chain.append(optax.add_decayed_weights(weight_decay))
-        if momentum:
-            chain.append(optax.trace(decay=momentum, nesterov=False))
-        chain.append(optax.scale_by_schedule(_sched(mult_fn(fc_scale))))
-        transforms[label] = optax.chain(*chain)
-    # CBF backbone freeze = zero updates for backbone leaves (the TPU-native
-    # stand-in for requires_grad=False, reference base.py:36-42)
-    transforms["frozen"] = optax.set_to_zero()
-
     labels = label_params(params)
     if freeze_backbone and "backbone" in labels:
+        # CBF backbone freeze = zero updates for backbone leaves (the
+        # TPU-native stand-in for requires_grad=False, reference base.py:36-42)
         labels = dict(labels)
         labels["backbone"] = jax.tree.map(lambda _: "frozen", labels["backbone"])
-    tx = optax.multi_transform(transforms, labels)
+
+    if fused:
+        # single fused per-leaf update (one multiply_add pass per leaf)
+        tx = _fused_labeled_sgd(
+            labels, base_lr, momentum, weight_decay, fc_scale, table, spe
+        )
+    else:
+        transforms = {}
+        for label, (mult_fn, use_wd) in GROUP_POLICY.items():
+            chain = []
+            if use_wd and weight_decay:
+                chain.append(optax.add_decayed_weights(weight_decay))
+            if momentum:
+                chain.append(optax.trace(decay=momentum, nesterov=False))
+            chain.append(optax.scale_by_schedule(_sched(mult_fn(fc_scale))))
+            transforms[label] = optax.chain(*chain)
+        transforms["frozen"] = optax.set_to_zero()
+        tx = optax.multi_transform(transforms, labels)
 
     pre = []
     if grad_clip is not None:

