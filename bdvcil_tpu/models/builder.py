@@ -92,6 +92,10 @@ def build_model(cfg: Dict[str, Any], dtype: Any = jnp.float32) -> ModelSpec:
             if b.get("bn_groups") == "per_device"
             else int(b.get("bn_groups", 1))
         ),
+        # bn_stats_rows: 0 = exact BN; >0 = ghost statistics from the first
+        # k rows of each stat group (models/norm.py) — cuts the HBM-bound
+        # statistics pass; opt-in, measured in PERF_NOTES
+        bn_stats_rows=int(b.get("bn_stats_rows", 0)),
     )
     if "norm_dtype" in b:
         backbone_kwargs["norm_dtype"] = {

@@ -233,6 +233,8 @@ def main():
         backbone["conv1x1_mode"] = os.environ["BENCH_CONV1X1"]
     if os.environ.get("BENCH_BN_GROUPS"):
         backbone["bn_groups"] = int(os.environ["BENCH_BN_GROUPS"])
+    if os.environ.get("BENCH_BN_STATS_ROWS"):  # ghost BN stats (row prefix)
+        backbone["bn_stats_rows"] = int(os.environ["BENCH_BN_STATS_ROWS"])
     model_cfg = dict(
         type="CILRecognizer2D",
         backbone=backbone,

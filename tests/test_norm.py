@@ -111,3 +111,65 @@ def test_backbone_trains_with_per_device_bn_groups():
     put = shard_batch({"imgs": imgs, "label": labels}, mesh)
     state, metrics = step(state, None, put["imgs"], put["label"], {}, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+def test_stats_rows_matches_prefix_oracle():
+    """stats_rows=k: statistics from x[:k] only, applied to all rows."""
+    n, k = 8, 3
+    x = _data(jax.random.PRNGKey(4), n=n)
+    mod = GroupedBatchNorm(use_running_average=False, groups=1, stats_rows=k)
+    v = mod.init(jax.random.PRNGKey(1), x)
+    y, m = mod.apply(v, x, mutable=["batch_stats"])
+
+    xs = np.asarray(x[:k], dtype=np.float32)
+    mean = xs.mean(axis=(0, 1, 2))
+    var = (xs**2).mean(axis=(0, 1, 2)) - mean**2
+    want = (np.asarray(x) - mean) / np.sqrt(var + 1e-5)
+    np.testing.assert_allclose(np.asarray(y), want, rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(m["batch_stats"]["mean"]), 0.1 * mean, rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(m["batch_stats"]["var"]), 0.9 + 0.1 * var, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_stats_rows_full_equals_exact_path():
+    """stats_rows = all rows reproduces the exact (full-batch) statistics."""
+    n = 6
+    x = _data(jax.random.PRNGKey(5), n=n)
+    ghost = GroupedBatchNorm(use_running_average=False, groups=1, stats_rows=n)
+    exact = GroupedBatchNorm(use_running_average=False, groups=1)
+    v = ghost.init(jax.random.PRNGKey(1), x)
+    y1, _ = ghost.apply(v, x, mutable=["batch_stats"])
+    y2, _ = exact.apply(v, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=3e-5, atol=3e-5)
+
+
+def test_stats_rows_grouped_prefix_and_grads():
+    """stats_rows composes with groups (per-group prefix) and is differentiable."""
+    g, per, k = 2, 4, 2
+    x = _data(jax.random.PRNGKey(6), n=g * per)
+    mod = GroupedBatchNorm(use_running_average=False, groups=g, stats_rows=k)
+    v = mod.init(jax.random.PRNGKey(1), x)
+    y, _ = mod.apply(v, x, mutable=["batch_stats"])
+
+    xg = np.asarray(x, dtype=np.float32).reshape(g, per, *x.shape[1:])
+    outs = []
+    for i in range(g):
+        xs = xg[i, :k]
+        mean = xs.mean(axis=(0, 1, 2))
+        var = (xs**2).mean(axis=(0, 1, 2)) - mean**2
+        outs.append((xg[i] - mean) / np.sqrt(var + 1e-5))
+    np.testing.assert_allclose(
+        np.asarray(y), np.concatenate(outs), rtol=3e-5, atol=3e-5
+    )
+
+    def loss(params):
+        out, _ = mod.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, x, mutable=["batch_stats"]
+        )
+        return jnp.sum(out**2)
+
+    grads = jax.grad(loss)(v["params"])
+    assert np.isfinite(np.asarray(grads["scale"])).all()
+    assert np.isfinite(np.asarray(grads["bias"])).all()
