@@ -77,7 +77,7 @@ def bench_input():
     )
 
 
-def bench_train_e2e():
+def bench_train_e2e(print_json=True):
     """BENCH_MODE=train_e2e — end-to-end training throughput including the
     input pipeline: synthetic UCF-101-shaped rawframes -> native C++ decode ->
     device-fused RandAugment/normalize/bgmix -> TSM-R50 train step.
@@ -193,22 +193,28 @@ def bench_train_e2e():
     host_frames_per_sec = len(probe_paths) / (time.perf_counter() - t0)
     per_core = host_frames_per_sec / max(1, min(8, os.cpu_count() or 1))
 
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_train_clips_per_sec_per_chip_tsm_r50_8x224",
-                "value": round(rate, 2),
-                "unit": "clips/s/chip",
-                "vs_baseline": round(rate / BASELINE_CLIPS_PER_SEC_PER_CHIP, 2),
-                "host_decode_frames_per_sec": round(host_frames_per_sec, 1),
-                "note": "decode-bound on this dev host; v5e hosts have ~26 vCPU/chip",
-            }
+    extras = {
+        "e2e_train_clips_per_sec_per_chip": round(rate, 2),
+        "e2e_vs_baseline": round(rate / BASELINE_CLIPS_PER_SEC_PER_CHIP, 2),
+        "host_decode_frames_per_sec": round(host_frames_per_sec, 1),
+        "e2e_note": "decode-bound on this dev host; v5e hosts have ~26 vCPU/chip",
+    }
+    if print_json:
+        print(
+            json.dumps(
+                {
+                    "metric": "e2e_train_clips_per_sec_per_chip_tsm_r50_8x224",
+                    "value": round(rate, 2),
+                    "unit": "clips/s/chip",
+                    "vs_baseline": round(rate / BASELINE_CLIPS_PER_SEC_PER_CHIP, 2),
+                    **{k: v for k, v in extras.items() if k.startswith("host")},
+                }
+            )
         )
-    )
-    return rate
+    return extras
 
 
-def main():
+def main(extras=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -325,6 +331,7 @@ def main():
                 "value": round(clips_per_sec_per_chip, 2),
                 "unit": "clips/s/chip",
                 "vs_baseline": round(clips_per_sec_per_chip / BASELINE_CLIPS_PER_SEC_PER_CHIP, 2),
+                **(extras or {}),
             }
         )
     )
@@ -337,14 +344,13 @@ if __name__ == "__main__":
     elif mode == "train_e2e":
         bench_train_e2e()
     else:
-        # default driver run: report the end-to-end (input-included) metric
-        # first, then the device-step headline metric last (VERDICT #4:
-        # BENCH_r{N}.json carries both)
+        # default driver run: ONE JSON line whose headline is the device-step
+        # metric, with the end-to-end (input-included) numbers and host decode
+        # capability as extra keys (VERDICT #4: BENCH_r{N}.json carries both)
+        extras = None
         if not os.environ.get("BENCH_SKIP_E2E"):
             try:
-                bench_train_e2e()
+                extras = bench_train_e2e(print_json=False)
             except Exception as e:  # never lose the headline metric
-                print(json.dumps({"metric": "e2e_train_clips_per_sec_per_chip_tsm_r50_8x224",
-                                  "value": None, "unit": "clips/s/chip",
-                                  "error": str(e)[:200]}))
-        main()
+                extras = {"e2e_error": str(e)[:200]}
+        main(extras)

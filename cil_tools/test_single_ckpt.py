@@ -20,11 +20,14 @@ def parse_args():
     parser.add_argument("--testing_videos_per_gpu", type=int)
     parser.add_argument("--testing_workers_per_gpu", type=int)
     parser.add_argument("--no_nme", action="store_true")
+    # accepted for drop-in compatibility with reference launch scripts;
+    # device selection is JAX's job on TPU
+    parser.add_argument("--gpu_ids", type=int, nargs="*", help="ignored on TPU")
     args = parser.parse_args()
     cfg_dict = {
         k: v
         for k, v in vars(args).items()
-        if v is not None and k not in ("config", "no_nme")
+        if v is not None and k not in ("config", "no_nme", "gpu_ids")
     }
     return args, cfg_dict
 

@@ -52,10 +52,15 @@ def parse_args():
     parser.add_argument("--save_best", action="store_true", default=None, help="validate every epoch, keep best")
     parser.add_argument("--seed", type=int)
     parser.add_argument("--compute_dtype", choices=["float32", "bfloat16"])
+    # accepted for drop-in compatibility with reference launch scripts
+    # (cil_tools/train_cil.py:20); device selection is JAX's job on TPU
+    parser.add_argument("--gpu_ids", type=int, nargs="*",
+                        help="ignored on TPU (kept for reference CLI parity)")
     args = parser.parse_args()
 
     cfg_dict = {
-        k: v for k, v in vars(args).items() if v is not None and k != "config"
+        k: v for k, v in vars(args).items()
+        if v is not None and k not in ("config", "gpu_ids")
     }
     return args, cfg_dict
 

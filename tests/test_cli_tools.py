@@ -52,6 +52,7 @@ def test_train_cil_arg_merge(tmp_path, monkeypatch):
             "0.3",
             "--use_cbf",
             "--save_best",
+            "--gpu_ids", "0", "1",  # reference-script compat: accepted, ignored
         ],
     )
     train_cil.main()
@@ -61,6 +62,7 @@ def test_train_cil_arg_merge(tmp_path, monkeypatch):
     assert cfg.use_cbf is True and cfg.save_best is True
     assert cfg.data.train.alpha == 0.3  # --alpha propagates into the dataset
     assert cfg.work_dir == str(tmp_path / "wd")
+    assert "gpu_ids" not in cfg  # parity flag accepted but never merged
 
 
 def test_test_cil_forces_task_zero(tmp_path, monkeypatch):

@@ -6,6 +6,7 @@ variants were tested (PERF_NOTES)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bdvcil_tpu.models import build_model, init_model_params
 from bdvcil_tpu.ops.conv1x1_bn import gemm_with_stats
@@ -56,6 +57,7 @@ def _cfg(mode):
     )
 
 
+@pytest.mark.slow  # 70s+ full-backbone Pallas-interpret run; option is non-default
 def test_bottleneck_pallas_stats_matches_xla_forward_grads_and_stats():
     t = 2
     spec_x = build_model(_cfg("xla"))
