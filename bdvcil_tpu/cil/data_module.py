@@ -384,7 +384,9 @@ class CILDataModule:
                 source.bg_files.extend(getattr(target, "bg_files", []))
         elif isinstance(source, ActorCutMixDataset):
             source.video_infos.extend(target.video_infos)
-            source.load_detections(self.config.det_file)
+            # the reference reads the top-level config key (cil.py:396); fall
+            # back to the dataset's own det_file when a config omits it
+            source.load_detections(self.config.get("det_file", source.det_file))
         elif isinstance(source, RawframeDataset):
             source.video_infos.extend(target.video_infos)
         else:

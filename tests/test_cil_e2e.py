@@ -305,3 +305,116 @@ def test_bg_pool_policies_e2e(cil_env, tmp_path_factory):
     )
     trainer2 = CILTrainer(cfg2, dump_config=False)
     assert len(trainer2.data_module.all_bg_files) >= 8
+
+
+def test_cil_actor_cut_mix_icarl_e2e(tmp_path_factory):
+    """The reference's ActorCutMix family (configs/ucf101/
+    seed_*_ActorCutMix_plus_randAug.py): methods='icarl', SimpleLinear head,
+    train ds = ActorCutMixDataset + det_file, eval ds = plain
+    RawframeDataset. Exercises foreground_ratio/background_label collation
+    through the loader into acm_smooth_targets (icarl.py:103-111)."""
+    root = tmp_path_factory.mktemp("acm_cil")
+    frames_root, train_ann, val_ann = make_rawframe_tree(
+        root, num_classes=3, videos_per_class=2, num_frames=10, size=(240, 320)
+    )
+    dets = {}
+    for vdir in frames_root.iterdir():
+        per_frame = {}
+        for t in range(0, 12):
+            per_frame[t] = np.array([[40.0, 30.0, 200.0, 170.0, 0.9]], dtype=np.float32)
+        dets[vdir.name] = per_frame
+    det_file = root / "dets.npy"
+    np.save(det_file, dets, allow_pickle=True)
+
+    t8 = 8  # the ACM pipelines are hardcoded to 8 segments / 224 crops
+    val_pipeline = [
+        dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=t8, test_mode=True),
+        dict(type="RawFrameDecode"),
+        dict(type="Resize", scale=(-1, 256)),
+        dict(type="CenterCrop", crop_size=224),
+        dict(type="Normalize", mean=MEAN, std=STD),
+        dict(type="FormatShape", input_format="NHWC"),
+        dict(type="Collect", keys=["imgs", "label"], meta_keys=[]),
+        dict(type="ToTensor", keys=["imgs"]),
+    ]
+    acm_ds = dict(
+        type="ActorCutMixDataset",
+        ann_file="",
+        det_file=str(det_file),
+        acm_prob=1.0,
+        data_prefix=str(frames_root),
+        pipeline=[],  # internal pipelines are hardcoded (reference parity)
+    )
+    raw_ds = dict(
+        type="RawframeDataset",
+        ann_file="",
+        data_prefix=str(frames_root),
+        pipeline=val_pipeline,
+        test_mode=True,
+    )
+    work_dir = tmp_path_factory.mktemp("work_acm")
+    cfg = Config.fromdict(dict(
+        det_file=str(det_file),  # top-level like the reference ACM configs
+        work_dir=str(work_dir),
+        videos_per_gpu=1,
+        workers_per_gpu=2,
+        accumulate_grad_batches=1,
+        testing_videos_per_gpu=8,
+        testing_workers_per_gpu=2,
+        task_splits=[[0, 1], [2]],
+        methods="icarl",
+        starting_task=0,
+        ending_task=1,
+        use_cbf=False,
+        cbf_train_backbone=False,
+        budget_size=1,
+        storing_methods="videos",
+        budget_type="class",
+        num_epochs_per_task=1,
+        cbf_num_epochs_per_task=1,
+        save_best=False,
+        log_every_n_steps=1,
+        keep_all_backgrounds=False,
+        cbf_full_bg=False,
+        model=dict(
+            type="CILRecognizer2D",
+            backbone=dict(type="ResNetTSM", depth=18, num_segments=t8, shift_div=8),
+            cls_head=dict(
+                type="IncrementalTSMHead",
+                num_classes=2,
+                in_channels=512,
+                inc_head_config=dict(type="SimpleLinear", out_features=2),
+                num_segments=t8,
+                loss_cls=dict(type="ACMSmoothCE"),
+                dropout_ratio=0.5,
+            ),
+            test_cfg=dict(average_clips="score"),
+        ),
+        optimizer=dict(
+            type="SGD",
+            constructor="CILTSMOptimizerConstructorImprovised",
+            paramwise_cfg=dict(fc_lr_scale_factor=5.0),
+            lr=0.01, momentum=0.9, weight_decay=1e-4,
+        ),
+        lr_scheduler=dict(type="MultiStepLR", params=dict(milestones=[20], gamma=0.1)),
+        cbf_optimizer=dict(type="SGD", lr=0.01, momentum=0.9, weight_decay=1e-4),
+        cbf_lr_scheduler=dict(type="MultiStepLR", params=dict(milestones=[20], gamma=0.1)),
+        data_root=str(frames_root),
+        train_ann_file=str(train_ann),
+        val_ann_file=str(val_ann),
+        cil_ann_file_template="{}_task_{}.txt",
+        data=dict(
+            train=acm_ds,
+            val=raw_ds,
+            test=raw_ds,
+            features_extraction=raw_ds,
+            features_extraction_epochs=1,
+            exemplar=acm_ds,
+        ),
+        seed=0,
+    ))
+    trainer = CILTrainer(cfg)
+    assert trainer.spec.average_clips == "score"
+    trainer.train()
+    assert (work_dir / "ckpt" / "ckpt_task_1.msgpack").exists()
+    assert trainer.variables["params"]["head"]["fc_weight"].shape[0] == 3
