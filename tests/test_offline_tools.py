@@ -160,3 +160,31 @@ def test_metric_logger_jsonl(tmp_path):
     lines = [json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()]
     assert lines[0]["step"] == 0 and lines[0]["loss"] == 1.5
     assert lines[1]["step"] == 10 and lines[1]["loss"] == 0.5
+
+
+def test_type_b_and_c_bg_cli(tmp_path, monkeypatch):
+    """Person-free background curation with precomputed detections
+    (reference cil_tools/type_b_and_c_bg.py:23-57)."""
+    import cv2
+
+    img_dir = tmp_path / "candidates"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for name in ("clean.jpg", "person.jpg", "lowscore.jpg"):
+        cv2.imwrite(str(img_dir / name), rng.integers(0, 255, (32, 40, 3)).astype(np.uint8))
+    dets = {
+        str(img_dir / "person.jpg"): [[1, 1, 10, 10, 0.9, 0]],   # person, confident
+        str(img_dir / "lowscore.jpg"): [[1, 1, 10, 10, 0.1, 0]],  # below threshold
+    }
+    det_json = tmp_path / "dets.json"
+    det_json.write_text(json.dumps(dets))
+    out_dir = tmp_path / "curated"
+
+    import cil_tools.type_b_and_c_bg as tool
+
+    monkeypatch.setattr(sys, "argv", [
+        "type_b_and_c_bg.py", "-i", str(img_dir), "-o", str(out_dir),
+        "--detections", str(det_json),
+    ])
+    tool.main()
+    assert sorted(p.name for p in out_dir.iterdir()) == ["clean.jpg", "lowscore.jpg"]
