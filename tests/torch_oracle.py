@@ -117,3 +117,67 @@ def lsc_scores(x: torch.Tensor, weights: torch.Tensor, num_classes: int, nb_prox
     sims = sims.reshape(-1, num_classes, nb_proxies)
     attn = torch.softmax(sims, dim=2)
     return (attn * sims).sum(dim=2)
+
+
+class BottleneckTSM(nn.Module):
+    """mmaction2 'pytorch'-style bottleneck with blockres temporal shift:
+    shift(input) -> conv1 1x1 -> conv2 3x3 (stride) -> conv3 1x1 (x4)."""
+
+    def __init__(self, inplanes, planes, stride, num_segments, shift_div=8, is_shift=True):
+        super().__init__()
+        self.num_segments = num_segments
+        self.shift_div = shift_div
+        self.is_shift = is_shift
+        out_planes = planes * 4
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, out_planes, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(out_planes)
+        self.downsample = None
+        if stride != 1 or inplanes != out_planes:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(inplanes, out_planes, 1, stride, bias=False),
+                nn.BatchNorm2d(out_planes),
+            )
+
+    def forward(self, x):
+        identity = x
+        h = tsm_shift(x, self.num_segments, self.shift_div) if self.is_shift else x
+        h = F.relu(self.bn1(self.conv1(h)))
+        h = F.relu(self.bn2(self.conv2(h)))
+        h = self.bn3(self.conv3(h))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return F.relu(h + identity)
+
+
+class TorchResNet50TSM(nn.Module):
+    """ResNet-50 TSM (the flagship benchmark backbone) with stage taps."""
+
+    def __init__(self, num_segments=2, shift_div=8, is_shift=True):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        planes = [64, 128, 256, 512]
+        stage_sizes = [3, 4, 6, 3]
+        inplanes = 64
+        for i, (p, n) in enumerate(zip(planes, stage_sizes)):
+            blocks = []
+            for b in range(n):
+                stride = 2 if (i > 0 and b == 0) else 1
+                blocks.append(
+                    BottleneckTSM(inplanes, p, stride, num_segments, shift_div, is_shift)
+                )
+                inplanes = p * 4
+            setattr(self, f"layer{i + 1}", nn.Sequential(*blocks))
+
+    def forward(self, x):
+        taps = {}
+        h = F.relu(self.bn1(self.conv1(x)))
+        h = F.max_pool2d(h, 3, 2, 1)
+        for i in range(1, 5):
+            h = getattr(self, f"layer{i}")(h)
+            taps[f"layer{i}"] = h
+        return taps
