@@ -159,3 +159,33 @@ def test_random_crop_and_random_resized_crop():
     ch, cw = out["img_shape"]
     assert 0 < ch <= 256 and 0 < cw <= 341
     assert out["imgs"][0].shape[:2] == (ch, cw)
+
+
+def test_mutex_pipelines_first_firing_wins(capsys):
+    """MutexPipelines: first sub-pipeline whose prob fires wins; none firing
+    passes results through; PrintPipelines is a pure pass-through printer
+    (reference libs/pipelines/mutex.py:7-38)."""
+    from bdvcil_tpu.data.transforms import MutexPipelines, PrintPipelines
+
+    a = [dict(type="PrintPipelines", message="A")]
+    b = [dict(type="PrintPipelines", message="B")]
+
+    # prob 1 on the first: always A, never B
+    mux = MutexPipelines(mutex_pipelines=[a, b], probs=[1.0, 1.0])
+    out = mux({"imgs": [np.zeros((4, 4, 3), np.uint8)]})
+    assert "imgs" in out
+    assert capsys.readouterr().out == "A\n"
+
+    # first never fires, second always: B
+    mux = MutexPipelines(mutex_pipelines=[a, b], probs=[0.0, 1.0])
+    mux({"imgs": [np.zeros((4, 4, 3), np.uint8)]})
+    assert capsys.readouterr().out == "B\n"
+
+    # none fire: unchanged pass-through, nothing printed
+    mux = MutexPipelines(mutex_pipelines=[a, b], probs=[0.0, 0.0])
+    res = {"marker": 7}
+    assert mux(res) is res
+    assert capsys.readouterr().out == ""
+
+    with pytest.raises(ValueError):
+        MutexPipelines(mutex_pipelines=[a], probs=[0.5, 0.5])
