@@ -418,3 +418,34 @@ def test_cil_actor_cut_mix_icarl_e2e(tmp_path_factory):
     trainer.train()
     assert (work_dir / "ckpt" / "ckpt_task_1.msgpack").exists()
     assert trainer.variables["params"]["head"]["fc_weight"].shape[0] == 3
+
+
+def test_cil_icarl_video_mix_e2e(cil_env, tmp_path_factory):
+    """iCaRL + tube-CutMix through the full trainer (icarl_video_mix.py:19-81):
+    on-device tubemix batch augmentation inside the jitted step, soft targets
+    at task 1."""
+    root, frames_root, train_ann, val_ann = cil_env
+    work_dir = tmp_path_factory.mktemp("work_vmix")
+    cfg = make_cil_config(
+        root, frames_root, train_ann, val_ann, work_dir,
+        ending_task=1, methods="icarl_video_mix",
+        video_mix_prob=1.0, video_mix_alpha=1.0,
+        model=dict(
+            type="CILRecognizer2D",
+            backbone=dict(type="ResNetTSM", depth=18, num_segments=T, shift_div=8),
+            cls_head=dict(
+                type="IncrementalTSMHead",
+                num_classes=2,
+                in_channels=512,
+                inc_head_config=dict(type="SimpleLinear", out_features=2),
+                num_segments=T,
+                loss_cls=dict(type="CrossEntropyLoss"),
+                dropout_ratio=0.5,
+            ),
+            test_cfg=dict(average_clips="prob"),
+        ),
+    )
+    trainer = CILTrainer(cfg)
+    trainer.train()
+    assert (work_dir / "ckpt" / "ckpt_task_1.msgpack").exists()
+    assert trainer.variables["params"]["head"]["fc_weight"].shape[0] == 3
