@@ -40,6 +40,12 @@ from ..runtime import (
     make_train_step,
     save_checkpoint,
 )
+from ..runtime.checkpoint import (
+    clear_train_snapshot,
+    load_train_snapshot,
+    peek_train_snapshot_meta,
+    save_train_snapshot,
+)
 from ..runtime.loops import run_inference, train_epochs
 from ..utils import AverageMeter, MetricLogger, get_logger, print_mean_accuracy
 from .data_module import CILDataModule
@@ -297,6 +303,37 @@ class CILTrainer:
         validate = save_best and (t == 0 if phase == "inc_step" else True)
         phase_name = "inc_step" if phase != "cbf" else "cbf_step"
 
+        # mid-task preemption-safe resume (reference has none: Lightning
+        # checkpointing is disabled, cil.py:750 — recovery is per-task only)
+        use_snap = bool(self.config.get("mid_task_checkpointing", False))
+        snap_every = max(1, int(self.config.get("mid_task_ckpt_every", 1)))
+        snap_path = self.ckpt_dir / "mid_task_snapshot.msgpack"
+        start_epoch = 0
+        resume_key = None
+        if use_snap:
+            meta = peek_train_snapshot_meta(snap_path)
+            if meta is not None and (
+                int(meta.get("task", -1)) == t
+                and meta.get("phase") == phase_name
+                and int(meta.get("num_classes", -1)) == nc
+            ):
+                state, resume_key = load_train_snapshot(snap_path, state)
+                start_epoch = int(meta["epoch"]) + 1
+                logger.info(
+                    "mid-task resume: task %d %s continuing at epoch %d (step %d)",
+                    t, phase_name, start_epoch, int(state.step),
+                )
+
+        def snapshot_hook(epoch, state_now, rng_now):
+            if not use_snap or (epoch + 1) % snap_every != 0 or epoch + 1 >= num_epochs:
+                return
+            if distributed.is_primary():
+                save_train_snapshot(
+                    snap_path, state_now, rng_now,
+                    meta=dict(task=t, phase=phase_name, epoch=epoch, num_classes=nc),
+                )
+            distributed.sync_processes("mid_task_snapshot")
+
         def epoch_hook(epoch, state_now):
             if not validate:
                 return
@@ -310,20 +347,30 @@ class CILTrainer:
         if validate:
             self.current_best = 0.0
 
+        base_key = self._next_key()  # consumed either way so the stream is
+        # identical between interrupted and uninterrupted runs of a task
         state, _ = train_epochs(
             step_fn,
             state,
             self.prev_variables,
             loader,
             num_epochs,
-            self._next_key(),
+            base_key if resume_key is None else resume_key,
             mesh=self.mesh,
             metric_logger=self.metric_logger,
             log_every_n_steps=self.config.get("log_every_n_steps", 10),
             phase=phase_name,
             task_idx=t,
             epoch_hook=epoch_hook,
+            start_epoch=start_epoch,
+            snapshot_hook=snapshot_hook if use_snap else None,
         )
+        if use_snap:
+            # the phase completed; a stale snapshot must not be restored by a
+            # later rerun of this task
+            if distributed.is_primary():
+                clear_train_snapshot(snap_path)
+            distributed.sync_processes("mid_task_snapshot_clear")
         self.variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     def _validate(self) -> float:

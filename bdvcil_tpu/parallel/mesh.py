@@ -22,15 +22,50 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis_name: str = "data") -> Mesh:
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_name: str = "data",
+    hybrid_shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """1-D data mesh, or a hierarchical ('dcn', 'data') mesh for multi-slice.
+
+    On a single slice/pod the 1-D mesh is right: the gradient all-reduce
+    rides ICI. Across slices (TPU multislice: ICI inside a slice, DCN
+    between), a hierarchical mesh tells XLA the topology so it emits
+    reduce-scatter within slices over ICI and only the per-slice partial
+    crosses DCN (the scaling-book hybrid-mesh recipe). Batches still shard
+    over BOTH axes (batch_sharding shards the leading dim over every mesh
+    axis), so the program is identical pure DP either way.
+
+    Slice boundaries are auto-detected from ``device.slice_index`` when
+    present; pass ``hybrid_shape=(num_slices, per_slice)`` to force (e.g. on
+    the CPU test mesh, which has no slice topology).
+    """
     if devices is None:
         devices = jax.devices()
+    devices = list(devices)
+    if hybrid_shape is None:
+        slice_ids = {getattr(d, "slice_index", 0) or 0 for d in devices}
+        if len(slice_ids) > 1 and len(devices) % len(slice_ids) == 0:
+            hybrid_shape = (len(slice_ids), len(devices) // len(slice_ids))
+    if hybrid_shape is not None:
+        n_dcn, n_ici = int(hybrid_shape[0]), int(hybrid_shape[1])
+        assert n_dcn * n_ici == len(devices), (hybrid_shape, len(devices))
+        # order devices so each mesh row is one slice (contiguous ICI group)
+        devices = sorted(
+            devices, key=lambda d: (getattr(d, "slice_index", 0) or 0, d.id)
+        )
+        grid = np.asarray(devices).reshape(n_dcn, n_ici)
+        return Mesh(grid, ("dcn", axis_name))
     return Mesh(np.asarray(devices), (axis_name,))
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
-    """Leading-dim sharding for batches."""
-    return NamedSharding(mesh, P(axis_name))
+    """Leading-dim sharding for batches, over every mesh axis (so the same
+    spec serves the 1-D data mesh and the hierarchical ('dcn','data') one)."""
+    axes = tuple(mesh.axis_names)
+    spec = axes if len(axes) > 1 else axis_name
+    return NamedSharding(mesh, P(spec))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -41,6 +41,72 @@ def load_checkpoint(path: str | pathlib.Path) -> Tuple[Dict[str, Any], Optional[
     return variables, meta
 
 
+# -- mid-task train snapshots (preemption-safe resume) ----------------------
+#
+# The reference has no mid-task resume at all — Lightning checkpointing is
+# disabled (cil.py:750) and recovery is per-task only (cil.py:655-695).
+# TPU pods get preempted; a rolling epoch-boundary snapshot of the FULL
+# train state (params, batch stats, optimizer state, step count, rng key)
+# makes `--starting_task t` resume bit-exact from the last completed epoch
+# instead of re-running the whole task.
+
+
+def save_train_snapshot(path: str | pathlib.Path, state, rng_key, meta: Dict) -> None:
+    """Atomically write a rolling snapshot of a TrainState mid-phase.
+
+    ``meta`` must identify the phase ({'task', 'phase', 'epoch',
+    'num_classes'}) so a stale snapshot from a different task/phase is never
+    restored. tmp+rename keeps a preemption mid-write from leaving a
+    truncated file behind.
+    """
+    import os
+
+    path = pathlib.Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    payload = {
+        "step": np.asarray(state.step),
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
+        "opt_state": _to_host(serialization.to_state_dict(state.opt_state)),
+        "rng_key": np.asarray(rng_key),
+    }
+    tmp = path.with_name(path.name + ".tmp")
+    tmp.write_bytes(serialization.msgpack_serialize(payload))
+    os.replace(tmp, path)
+    meta_tmp = path.with_suffix(".json.tmp")
+    meta_tmp.write_text(json.dumps(meta, default=float))
+    os.replace(meta_tmp, path.with_suffix(".json"))
+
+
+def peek_train_snapshot_meta(path: str | pathlib.Path) -> Optional[Dict]:
+    meta_path = pathlib.Path(path).with_suffix(".json")
+    if not meta_path.exists() or not pathlib.Path(path).exists():
+        return None
+    return json.loads(meta_path.read_text())
+
+
+def load_train_snapshot(path: str | pathlib.Path, state_target):
+    """Restore a snapshot into a freshly-created TrainState of matching
+    shapes (build it with ``TrainState.create(variables, tx)`` first — the
+    optimizer-state pytree structure comes from the target)."""
+    import jax.numpy as jnp
+
+    raw = serialization.msgpack_restore(pathlib.Path(path).read_bytes())
+    state = state_target.replace(
+        step=jnp.asarray(raw["step"]),
+        params=serialization.from_state_dict(state_target.params, raw["params"]),
+        batch_stats=serialization.from_state_dict(state_target.batch_stats, raw["batch_stats"]),
+        opt_state=serialization.from_state_dict(state_target.opt_state, raw["opt_state"]),
+    )
+    return state, jnp.asarray(raw["rng_key"])
+
+
+def clear_train_snapshot(path: str | pathlib.Path) -> None:
+    path = pathlib.Path(path)
+    path.unlink(missing_ok=True)
+    path.with_suffix(".json").unlink(missing_ok=True)
+
+
 # -- orbax backend (optional; SURVEY.md §5 "orbax per-task checkpoints") ----
 
 

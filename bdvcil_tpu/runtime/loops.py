@@ -41,18 +41,24 @@ def train_epochs(
     phase: str = "inc_step",
     task_idx: int = 0,
     epoch_hook: Optional[Callable] = None,
+    start_epoch: int = 0,
+    snapshot_hook: Optional[Callable] = None,
 ):
     """Run the jitted step over epochs. Returns (state, last_metrics).
 
     ``epoch_hook(epoch, state)`` runs after every epoch (validation /
-    save-best lives there). Throughput is metered in clips/sec.
+    save-best lives there). ``snapshot_hook(epoch, state, rng_key)`` runs
+    after ``epoch_hook`` with the rng key as it stands at the epoch
+    boundary — together with ``start_epoch`` this gives bit-exact
+    mid-task resume after a preemption (runtime/checkpoint.py train
+    snapshots). Throughput is metered in clips/sec.
     """
     meter = Throughput(warmup=2)
     step = 0
     last_metrics: Dict[str, float] = {}
     pending_metrics = None  # device arrays from the previous log step: reading
     # them one interval later avoids stalling the dispatch pipeline on a sync
-    for epoch in range(num_epochs):
+    for epoch in range(start_epoch, num_epochs):
         loader.set_epoch(epoch)
         for batch in loader:
             if "imgs_u8" in batch:  # fast uint8 path (data/device_pipeline.py)
@@ -109,6 +115,8 @@ def train_epochs(
                 pending_metrics = metrics
         if epoch_hook is not None:
             epoch_hook(epoch, state)
+        if snapshot_hook is not None:
+            snapshot_hook(epoch, state, rng_key)
     if pending_metrics is not None:
         last_metrics = {k: float(v) for k, v in pending_metrics.items()}
     return state, last_metrics

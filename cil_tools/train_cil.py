@@ -50,6 +50,13 @@ def parse_args():
     parser.add_argument("--kd_exemplar_only", action="store_true", default=None)
     parser.add_argument("--log_every_n_steps", type=int)  # default: config value
     parser.add_argument("--save_best", action="store_true", default=None, help="validate every epoch, keep best")
+    parser.add_argument(
+        "--mid_task_checkpointing", action="store_true", default=None,
+        help="rolling epoch-boundary train-state snapshots: rerunning with "
+        "--starting_task t resumes bit-exact from the last completed epoch "
+        "after a preemption (capability the reference lacks)",
+    )
+    parser.add_argument("--mid_task_ckpt_every", type=int, help="epochs between snapshots (default 1)")
     parser.add_argument("--seed", type=int)
     parser.add_argument("--compute_dtype", choices=["float32", "bfloat16"])
     # accepted for drop-in compatibility with reference launch scripts

@@ -195,3 +195,26 @@ def test_padded_batch_step_matches_unpadded_loss():
     )
     # identical duplicated rows -> identical BN stats too, so loss_cls matches
     assert abs(float(m_pad["loss_cls"]) - float(m_ref["loss_cls"])) < 5e-3
+
+
+@pytest.mark.slow
+def test_hybrid_dcn_mesh_matches_single_device():
+    """Hierarchical ('dcn','data') 2x4 mesh (TPU multislice layout) must be
+    pure-DP-identical to single-device — batch_sharding spans both axes."""
+    mesh = make_mesh(hybrid_shape=(2, 4))
+    assert mesh.axis_names == ("dcn", "data")
+    assert mesh.devices.shape == (2, 4)
+    spec, variables, tx, state = _setup()
+    step = make_train_step(spec, tx, num_classes=5, method="base", task_idx=0, donate=False)
+    imgs, labels = _batch(jax.random.PRNGKey(11), b=8)
+
+    state_rep = replicate(state, mesh)
+    put = shard_batch({"imgs": np.asarray(imgs), "label": np.asarray(labels)}, mesh)
+    s1, m1 = step(state_rep, None, put["imgs"], put["label"], {}, jax.random.PRNGKey(0))
+    s2, m2 = step(state, None, imgs, labels, {}, jax.random.PRNGKey(0))
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(s1.params["head"]["fc_weights"]),
+        np.asarray(s2.params["head"]["fc_weights"]),
+        atol=1e-5,
+    )
