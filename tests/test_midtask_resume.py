@@ -85,6 +85,7 @@ def test_snapshot_roundtrip_exact(tmp_path):
     assert peek_train_snapshot_meta(path) is None
 
 
+@pytest.mark.slow  # three fresh step compiles; the roundtrip test covers the fast tier
 def test_interrupted_run_bit_identical(tmp_path):
     """3 straight epochs == 2 epochs + snapshot + resume for the 3rd."""
     num_epochs = 3
