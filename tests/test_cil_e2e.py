@@ -449,3 +449,35 @@ def test_cil_icarl_video_mix_e2e(cil_env, tmp_path_factory):
     trainer.train()
     assert (work_dir / "ckpt" / "ckpt_task_1.msgpack").exists()
     assert trainer.variables["params"]["head"]["fc_weight"].shape[0] == 3
+
+
+def test_tencrop_eval_protocol(cil_env, tmp_path_factory):
+    """Two-task run whose val/test pipeline is the reference's canonical
+    TenCrop (ucf101 config :164) — exercises the multi-crop group eval path
+    (10 crops x T segments) through the full trainer + cil_testing."""
+    root, frames_root, train_ann, val_ann = cil_env
+    work_dir = tmp_path_factory.mktemp("work_tencrop")
+    tencrop_val = [
+        dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=T, test_mode=True),
+        dict(type="RawFrameDecode"),
+        dict(type="Resize", scale=(-1, 64)),
+        dict(type="TenCrop", crop_size=56),
+        dict(type="Normalize", mean=MEAN, std=STD),
+        dict(type="FormatShape", input_format="NHWC"),
+        dict(type="Collect", keys=["imgs", "label"], meta_keys=[]),
+        dict(type="ToTensor", keys=["imgs"]),
+    ]
+    cfg = make_cil_config(
+        root, frames_root, train_ann, val_ann, work_dir,
+        task_splits=[[0, 1], [2]], ending_task=1,
+    )
+    for split in ("val", "test", "features_extraction"):
+        cfg.data[split].pipeline = tencrop_val
+    trainer = CILTrainer(cfg)
+    trainer.train()
+    for t in range(2):
+        assert (work_dir / "ckpt" / f"ckpt_task_{t}.msgpack").exists()
+    trainer2 = CILTrainer(cfg, dump_config=False)
+    trainer2.cil_testing(test_nme=True)
+    assert (work_dir / "cnn_result.txt").exists()
+    assert (work_dir / "nme_result.txt").exists()
