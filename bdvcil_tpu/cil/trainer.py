@@ -319,6 +319,9 @@ class CILTrainer:
             ):
                 state, resume_key = load_train_snapshot(snap_path, state)
                 start_epoch = int(meta["epoch"]) + 1
+                if meta.get("current_best") is not None:
+                    # keep save-best monotone across the preemption
+                    self.current_best = float(meta["current_best"])
                 logger.info(
                     "mid-task resume: task %d %s continuing at epoch %d (step %d)",
                     t, phase_name, start_epoch, int(state.step),
@@ -330,7 +333,8 @@ class CILTrainer:
             if distributed.is_primary():
                 save_train_snapshot(
                     snap_path, state_now, rng_now,
-                    meta=dict(task=t, phase=phase_name, epoch=epoch, num_classes=nc),
+                    meta=dict(task=t, phase=phase_name, epoch=epoch, num_classes=nc,
+                              current_best=self.current_best),
                 )
             distributed.sync_processes("mid_task_snapshot")
 
@@ -344,7 +348,9 @@ class CILTrainer:
                 self.current_best = acc
                 self._save_task_ckpt(t)
 
-        if validate:
+        if validate and resume_key is None:  # a mid-task resume restored the
+            # pre-preemption best; resetting would let a worse epoch overwrite
+            # the saved best checkpoint
             self.current_best = 0.0
 
         base_key = self._next_key()  # consumed either way so the stream is
