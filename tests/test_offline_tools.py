@@ -188,3 +188,78 @@ def test_type_b_and_c_bg_cli(tmp_path, monkeypatch):
     ])
     tool.main()
     assert sorted(p.name for p in out_dir.iterdir()) == ["clean.jpg", "lowscore.jpg"]
+
+
+def test_predict_cli(tree, tmp_path, monkeypatch):
+    """Serving surface: classify unlabeled rawframe dirs with a checkpoint
+    (cil_tools/predict.py — capability the reference lacks)."""
+    import jax
+
+    from bdvcil_tpu.models import build_model, init_model_params
+    from bdvcil_tpu.runtime import save_checkpoint
+
+    root, frames_root, train_ann, val_ann = tree
+    work = tmp_path / "work"
+    work.mkdir()
+
+    val_pipeline = [
+        dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=T, test_mode=True),
+        dict(type="RawFrameDecode"),
+        dict(type="Resize", scale=(-1, 64)),
+        dict(type="CenterCrop", crop_size=56),
+        dict(type="Normalize", mean=MEAN, std=STD),
+        dict(type="FormatShape", input_format="NHWC"),
+        dict(type="Collect", keys=["imgs", "label"], meta_keys=[]),
+        dict(type="ToTensor", keys=["imgs"]),
+    ]
+    cfg_text = f"""
+model = dict(
+    type="CILRecognizer2D",
+    backbone=dict(type="ResNetTSM", depth=18, num_segments={T}, shift_div=8),
+    cls_head=dict(
+        type="IncrementalTSMHead", num_classes=4, in_channels=512,
+        inc_head_config=dict(type="SimpleLinear", out_features=4),
+        num_segments={T}, loss_cls=dict(type="CrossEntropyLoss"), dropout_ratio=0.5,
+    ),
+    test_cfg=dict(average_clips="prob"),
+)
+data = dict(
+    test=dict(type="RawframeDataset", ann_file="{val_ann}",
+              data_prefix="{frames_root}", pipeline={val_pipeline!r}, test_mode=True),
+)
+"""
+    (work / "config.py").write_text(cfg_text)
+
+    from bdvcil_tpu.config import Config
+
+    spec = build_model(Config.fromfile(str(work / "config.py")).model)
+    variables = init_model_params(spec, jax.random.PRNGKey(0), (1, T, 56, 56, 3))
+    save_checkpoint(work / "ckpt.msgpack", variables)
+    # original->incremental mapping enables original_label reporting
+    (work / "class_indices_mapping.json").write_text(
+        json.dumps({"orig_a": 0, "orig_b": 1, "orig_c": 2, "orig_d": 3})
+    )
+
+    import cil_tools.predict as tool
+
+    out = tmp_path / "preds.json"
+    monkeypatch.setattr(sys, "argv", [
+        "predict.py", str(work / "config.py"), str(work / "ckpt.msgpack"),
+        str(frames_root), "--output", str(out), "--topk", "2", "--batch_size", "4",
+    ])
+    tool.main()
+
+    preds = json.loads(out.read_text())["predictions"]
+    assert len(preds) == 8  # every video dir under the tree
+    for p in preds:
+        assert len(p["topk"]) == 2
+        scores = [e["score"] for e in p["topk"]]
+        assert scores == sorted(scores, reverse=True)
+        assert p["topk"][0]["original_label"].startswith("orig_")
+    # single-video-dir form
+    one = sorted(d for d in frames_root.iterdir() if d.is_dir())[0]
+    monkeypatch.setattr(sys, "argv", [
+        "predict.py", str(work / "config.py"), str(work / "ckpt.msgpack"),
+        str(one), "--topk", "1",
+    ])
+    tool.main()

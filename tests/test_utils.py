@@ -21,3 +21,20 @@ def test_print_mean_accuracy_shape():
     assert "task 0" in table and "task 1" in table and "avg_acc" in table
     # avg over tasks: (90 + 76.666..) / 2
     assert "83.33" in table
+
+
+def test_profiling_helpers(tmp_path):
+    import jax.numpy as jnp
+
+    from bdvcil_tpu.utils import profiling
+
+    with profiling.step_timer() as t:
+        _ = jnp.ones((4, 4)).sum().block_until_ready()
+    assert t.elapsed > 0
+
+    with profiling.annotate("unit-test-region"):
+        _ = jnp.zeros((2, 2)) + 1
+
+    with profiling.trace(str(tmp_path / "trace")):
+        _ = jnp.ones((2, 2)) * 2
+    assert any((tmp_path / "trace").rglob("*"))  # xplane dump written
