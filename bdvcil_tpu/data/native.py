@@ -117,6 +117,27 @@ def available() -> bool:
     return _load() is not None
 
 
+def default_threads() -> int:
+    """Decode-pool size when the caller passes num_threads<=0.
+
+    ``os.cpu_count()`` under-reports inside cgroup-limited containers (this
+    dev box reports 1 while its quota sustains ~4-5 cores — PERF_NOTES
+    "Host decode scaling": 1 thread = 74 frames/s, 8 threads = 372), and a
+    TPU host's decode demand (~24 cores for one v5e chip at the device-bound
+    rate) exceeds a min(8, ...) cap. Decode threads mix I/O with compute, so
+    mild oversubscription is cheap: floor at 8, follow the affinity mask /
+    cpu count above that, and let BDVC_DECODE_THREADS override everything.
+    """
+    env = os.environ.get("BDVC_DECODE_THREADS")
+    if env:
+        return max(1, int(env))
+    try:
+        n = len(os.sched_getaffinity(0))
+    except AttributeError:  # non-Linux
+        n = os.cpu_count() or 1
+    return max(8, n)
+
+
 def decode_file(path: str, max_bytes: int = 64 * 1024 * 1024) -> np.ndarray:
     lib = _load()
     if lib is None:
@@ -162,7 +183,7 @@ def decode_resize_crop_batch(
         cx_ptr = cx.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
         cy_ptr = cy.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
     if num_threads <= 0:
-        num_threads = min(8, os.cpu_count() or 1)
+        num_threads = default_threads()
     rc = lib.bdvc_decode_resize_crop_batch(
         c_paths,
         n,
@@ -203,7 +224,7 @@ def decode_resize2_crop_batch(
     cx = np.ascontiguousarray([c[0] for c in crops], dtype=np.int32)
     cy = np.ascontiguousarray([c[1] for c in crops], dtype=np.int32)
     if num_threads <= 0:
-        num_threads = min(8, os.cpu_count() or 1)
+        num_threads = default_threads()
     rc = lib.bdvc_decode_resize2_crop_batch(
         c_paths,
         n,
@@ -232,7 +253,7 @@ def probe_dims_batch(paths: Sequence[str], num_threads: int = 0) -> np.ndarray:
     heights = np.empty(n, dtype=np.int32)
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     if num_threads <= 0:
-        num_threads = min(8, os.cpu_count() or 1)
+        num_threads = default_threads()
     rc = lib.bdvc_probe_dims_batch(
         c_paths,
         n,
@@ -257,7 +278,7 @@ def decode_tencrop_batch(
     out = np.empty((n, 5, crop, crop, 3), dtype=np.uint8)
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     if num_threads <= 0:
-        num_threads = min(8, os.cpu_count() or 1)
+        num_threads = default_threads()
     rc = lib.bdvc_decode_tencrop_batch(
         c_paths, n, short_side, crop,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), num_threads,

@@ -57,11 +57,21 @@ def op_magnitudes(m: int) -> Tuple[float, ...]:
 
 
 def _lut_apply(img: jax.Array, lut: jax.Array) -> jax.Array:
-    """img (..., C) uint8, lut (C, 256) or (256,)."""
+    """img (..., C) uint8, lut (C, 256) or (256,).
+
+    Gather-free: ``lut[img]`` is a per-element DMA gather that runs at
+    ~115M elem/s on TPU (profiled at 79 ms per 6.4M-pixel application —
+    PERF_NOTES "Device RandAugment"); the compare-select form fuses into
+    one VPU reduction over the 256 axis instead."""
+    levels = jnp.arange(256, dtype=img.dtype)
     if lut.ndim == 1:
-        return lut[img]
-    out = jnp.stack([lut[c][img[..., c]] for c in range(img.shape[-1])], axis=-1)
-    return out
+        onehot = img[..., None] == levels  # (..., 256), fused into the sum
+        return jnp.sum(jnp.where(onehot, lut[None, :], 0), axis=-1).astype(img.dtype)
+    out = []
+    for c in range(img.shape[-1]):
+        onehot = img[..., c, None] == levels
+        out.append(jnp.sum(jnp.where(onehot, lut[c][None, :], 0), axis=-1))
+    return jnp.stack(out, axis=-1).astype(img.dtype)
 
 
 def _per_frame(fn):
@@ -135,7 +145,13 @@ def _op_autocontrast(imgs, val, sign, loc):
 def _op_equalize(imgs, val, sign, loc):
     def one_channel(channel):
         flat = channel.reshape(-1)
-        h = jnp.zeros(256, jnp.int32).at[flat].add(1)
+        # scatter-free histogram: the .at[flat].add(1) form serializes on the
+        # TPU scatter path (~56 ms/frame-channel profiled); the compare form
+        # fuses into one VPU reduction over the pixel axis
+        h = jnp.sum(
+            (flat[:, None] == jnp.arange(256, dtype=flat.dtype)[None, :]).astype(jnp.int32),
+            axis=0,
+        )
         nonzero = h > 0
         # index of the last nonzero bin
         last_idx = 255 - jnp.argmax(nonzero[::-1])
@@ -147,7 +163,7 @@ def _op_equalize(imgs, val, sign, loc):
         identity_lut = jnp.arange(256, dtype=jnp.int32)
         use_identity = (n_nonzero <= 1) | (step == 0)
         lut = jnp.where(use_identity, identity_lut, lut).astype(jnp.uint8)
-        return lut[channel]
+        return _lut_apply(channel, lut)
 
     def one(img):
         return jnp.stack([one_channel(img[..., c]) for c in range(img.shape[-1])], axis=-1)
@@ -319,7 +335,106 @@ def rand_augment_clip(key: jax.Array, imgs: jax.Array, n: int = 2, m: int = 10) 
     return imgs
 
 
+# indices into _OPS / OP_TABLE of the affine (geometric) ops
+_GEO_ROTATE, _GEO_SHEARX, _GEO_TRANSX, _GEO_TRANSY, _GEO_SHEARY = 3, 9, 10, 11, 13
+_GEO_IDS = (_GEO_ROTATE, _GEO_SHEARX, _GEO_TRANSX, _GEO_TRANSY, _GEO_SHEARY)
+
+
+def _affine_matrix_for_op(op_idx, sign, vals, h: int, w: int):
+    """Per-clip PIL inverse-map affine matrix (a,b,c,d,e,f) for the chosen
+    op — identity when the op is not geometric. Pure per-clip scalar math;
+    reproduces _op_rotate/_shear_x/_shear_y/_translate_x/_translate_y."""
+    f32 = jnp.float32
+    # rotate (matches _op_rotate)
+    angle = -jnp.where(sign, -f32(vals[_GEO_ROTATE]), f32(vals[_GEO_ROTATE])) * (jnp.pi / 180.0)
+    cx, cy = w / 2.0, h / 2.0
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    rot = jnp.stack([cos, sin, cx - cx * cos - cy * sin, -sin, cos, cy + cx * sin - cy * cos])
+    vx = jnp.where(sign, -f32(vals[_GEO_SHEARX]), f32(vals[_GEO_SHEARX]))
+    shx = jnp.stack([f32(1), vx, f32(0), f32(0), f32(1), f32(0)])
+    vy = jnp.where(sign, -f32(vals[_GEO_SHEARY]), f32(vals[_GEO_SHEARY]))
+    shy = jnp.stack([f32(1), f32(0), f32(0), vy, f32(1), f32(0)])
+    tx = jnp.where(sign, -f32(vals[_GEO_TRANSX]), f32(vals[_GEO_TRANSX])) * w
+    trx = jnp.stack([f32(1), f32(0), tx, f32(0), f32(1), f32(0)])
+    ty = jnp.where(sign, -f32(vals[_GEO_TRANSY]), f32(vals[_GEO_TRANSY])) * h
+    try_ = jnp.stack([f32(1), f32(0), f32(0), f32(0), f32(1), ty])
+    ident = jnp.asarray([1.0, 0.0, 0.0, 0.0, 1.0, 0.0], jnp.float32)
+
+    mat = ident
+    for gid, cand in ((_GEO_ROTATE, rot), (_GEO_SHEARX, shx), (_GEO_SHEARY, shy),
+                      (_GEO_TRANSX, trx), (_GEO_TRANSY, try_)):
+        mat = jnp.where(op_idx == gid, cand, mat)
+    return mat
+
+
+def _affine_nearest_clip(imgs: jax.Array, matrix: jax.Array, fill=FILL_COLOR) -> jax.Array:
+    """_affine_nearest over a whole clip (T,H,W,C) with ONE index computation
+    and one gather of (H·W) rows of T·C bytes — the slice-per-pixel DMA
+    gather was the device RandAugment bottleneck (PERF_NOTES)."""
+    t, h, w, c = imgs.shape
+    a, b, cc, d, e, f = (matrix[i] for i in range(6))
+    ys = jnp.arange(h, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(w, dtype=jnp.float32) + 0.5
+    src_x = a * xs[None, :] + b * ys[:, None] + cc
+    src_y = d * xs[None, :] + e * ys[:, None] + f
+    ix = jnp.floor(src_x).astype(jnp.int32)
+    iy = jnp.floor(src_y).astype(jnp.int32)
+    valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    flat_idx = (jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)).reshape(-1)
+    rows = imgs.transpose(1, 2, 0, 3).reshape(h * w, t * c)[flat_idx]  # (H·W, T·C)
+    out = rows.reshape(h, w, t, c).transpose(2, 0, 1, 3)
+    fill_arr = jnp.asarray(fill, dtype=imgs.dtype)
+    return jnp.where(valid[None, :, :, None], out, fill_arr)
+
+
 @functools.partial(jax.jit, static_argnames=("n", "m"))
 def rand_augment_batch(keys: jax.Array, imgs: jax.Array, n: int = 2, m: int = 10) -> jax.Array:
-    """vmapped rand_augment_clip: keys (B, 2) u32, imgs (B, T, H, W, C) u8."""
-    return jax.vmap(lambda k, im: rand_augment_clip(k, im, n, m))(keys, imgs)
+    """Batch RandAugment: keys (B, 2) u32, imgs (B, T, H, W, C) u8.
+
+    Bit-identical to ``vmap(rand_augment_clip)`` (same per-clip key splits
+    and op programs — asserted by tests/test_rand_augment_dev.py) but
+    restructured for TPU. Two pathologies in the naive vmap(switch) form
+    (measured 1.38 s/batch on v5e):
+
+      * a vmapped ``lax.switch`` computes every branch for every clip, so
+        all 5 affine ops ran their per-pixel DMA gathers each round;
+      * each affine gathered 3-byte pixels with per-frame indices — 6.4M
+        tiny descriptors per op (~115M elem/s on the TPU gather path).
+
+    Here each round SELECTS the per-clip affine matrix (6 scalars — the
+    op identity only changes the matrix) and runs ONE shared clip-level
+    gather of (H·W) rows of T·C bytes; the 9 photometric ops are
+    elementwise/LUT and run batch-wide with a masked select. One gather
+    per round instead of five, with 24x larger DMA rows."""
+    h, w = imgs.shape[2], imgs.shape[3]
+
+    def clip_params(key):
+        k_ops, k_sign, k_x, k_y = jax.random.split(key, 4)
+        op_indices = jax.random.randint(k_ops, (n,), 0, NUM_OPS)
+        flip_sign = jax.random.uniform(k_sign) > 0.5
+        x0 = jax.random.uniform(k_x, (), minval=0.0, maxval=float(w))
+        y0 = jax.random.uniform(k_y, (), minval=0.0, maxval=float(h))
+        return op_indices, flip_sign, x0, y0
+
+    op_indices, flip_sign, x0, y0 = jax.vmap(clip_params)(keys)  # (B,n) (B,) (B,) (B,)
+    vals = op_magnitudes(m)
+
+    for r in range(n):
+        idx = op_indices[:, r]  # (B,)
+        is_geo = jnp.isin(idx, jnp.asarray(_GEO_IDS))
+
+        # geometric: one shared gather with the selected per-clip matrix
+        mats = jax.vmap(lambda i, s: _affine_matrix_for_op(i, s, vals, h, w))(idx, flip_sign)
+        geo_out = jax.vmap(_affine_nearest_clip)(imgs, mats)
+
+        # photometric: each op batch-wide, masked select (cheap: LUT/elementwise)
+        out = jnp.where(is_geo[:, None, None, None, None], geo_out, imgs)
+        for i, op in enumerate(_OPS):
+            if i == 0 or i in _GEO_IDS:
+                continue
+            applied = jax.vmap(
+                lambda im, s, x, y, op=op, v=jnp.float32(vals[i]): op(im, v, s, (x, y))
+            )(imgs, flip_sign, x0, y0)
+            out = jnp.where((idx == i)[:, None, None, None, None], applied, out)
+        imgs = out
+    return imgs

@@ -138,3 +138,18 @@ def test_magnitude_table_matches_reference_formula():
     vals = dev.op_magnitudes(10)
     for (name, mn, mx), v in zip(dev.OP_TABLE, vals):
         assert abs(v - ((10 / 30) * (mx - mn) + mn)) < 1e-9
+
+
+def test_rand_augment_batch_matches_per_clip_switch():
+    """The TPU-restructured batch path (shared affine gather + photometric
+    masked select) must be BIT-identical to the per-clip lax.switch oracle
+    (rand_augment_clip) for the same keys."""
+    rng = np.random.default_rng(7)
+    clips = rng.integers(0, 256, (12, 3, 40, 48, 3), dtype=np.uint8)
+    keys = jax.random.split(jax.random.PRNGKey(123), 12)
+    batch = np.asarray(dev.rand_augment_batch(keys, jnp.asarray(clips), n=2, m=10))
+    per_clip = np.stack([
+        np.asarray(dev.rand_augment_clip(keys[i], jnp.asarray(clips[i]), n=2, m=10))
+        for i in range(12)
+    ])
+    np.testing.assert_array_equal(batch, per_clip)
