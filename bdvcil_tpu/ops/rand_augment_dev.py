@@ -64,14 +64,18 @@ def _lut_apply(img: jax.Array, lut: jax.Array) -> jax.Array:
     PERF_NOTES "Device RandAugment"); the compare-select form fuses into
     one VPU reduction over the 256 axis instead."""
     levels = jnp.arange(256, dtype=img.dtype)
+
+    def apply1(channel, lut1):
+        onehot = channel[..., None] == levels  # (..., 256), fused into the max
+        # exactly one level matches, so a u8 max-reduce selects lut1[channel]
+        # without the u32 accumulator a sum-reduce would widen to
+        return jnp.max(jnp.where(onehot, lut1.astype(jnp.uint8)[None, :], 0), axis=-1)
+
     if lut.ndim == 1:
-        onehot = img[..., None] == levels  # (..., 256), fused into the sum
-        return jnp.sum(jnp.where(onehot, lut[None, :], 0), axis=-1).astype(img.dtype)
-    out = []
-    for c in range(img.shape[-1]):
-        onehot = img[..., c, None] == levels
-        out.append(jnp.sum(jnp.where(onehot, lut[c][None, :], 0), axis=-1))
-    return jnp.stack(out, axis=-1).astype(img.dtype)
+        return apply1(img, lut)
+    return jnp.stack(
+        [apply1(img[..., c], lut[c]) for c in range(img.shape[-1])], axis=-1
+    )
 
 
 def _per_frame(fn):
