@@ -30,7 +30,6 @@ Batch layout out: {'imgs_u8' (B,T,224,224,3) u8, 'bg_u8' (B,224,224,3) u8,
 from __future__ import annotations
 
 import os.path as osp
-import queue
 import threading
 from typing import Dict, Iterator, List, Sequence
 
@@ -112,6 +111,59 @@ def plan_bg_crop(rng, orig_w: int, orig_h: int, short_side: int, crop: int) -> t
     bx = int(rng.integers(0, max(rw - crop, 0) + 1))
     by = int(rng.integers(0, max(rh - crop, 0) + 1))
     return bx, by
+
+
+def _parallel_ordered_iter(batches, make, num_workers: int, prefetch: int):
+    """Produce ``make(*batches[i])`` from a small thread pool, yielding in
+    order. Batch content is a pure function of its index tuple (per-sample
+    rng is keyed on (seed, epoch, idx)), so worker assignment cannot change
+    results — this only overlaps the GIL-held numpy planning of one batch
+    with the GIL-released C++ decode of another. Outstanding batches are
+    bounded by prefetch + num_workers."""
+    if num_workers <= 1:
+        num_workers = 1
+    tasks = iter(enumerate(batches))
+    task_lock = threading.Lock()
+    sem = threading.BoundedSemaphore(max(1, prefetch) + num_workers)
+    cond = threading.Condition()
+    results: Dict[int, object] = {}
+    error: List[BaseException] = []
+
+    def worker():
+        try:
+            while True:
+                sem.acquire()
+                with task_lock:
+                    try:
+                        i, args = next(tasks)
+                    except StopIteration:
+                        sem.release()
+                        return
+                batch = make(*args) if isinstance(args, tuple) else make(args)
+                with cond:
+                    results[i] = batch
+                    cond.notify_all()
+        except BaseException as e:  # re-raised in the consumer
+            with cond:
+                error.append(e)
+                cond.notify_all()
+
+    threads = [threading.Thread(target=worker, daemon=True) for _ in range(num_workers)]
+    for th in threads:
+        th.start()
+    for i in range(len(batches)):
+        with cond:
+            while i not in results and not error:
+                cond.wait()
+            if error:
+                raise error[0]
+            batch = results.pop(i)
+        sem.release()
+        yield batch
+    for th in threads:
+        th.join()
+    if error:
+        raise error[0]
 
 
 def _fixed_crop_offsets(rw: int, rh: int, crop_w: int, crop_h: int = None) -> List:
@@ -204,6 +256,7 @@ class FastEvalLoader:
         start_index: int = 1,
         num_threads: int = 0,
         prefetch: int = 2,
+        num_workers: int = 1,
         tencrop: bool = False,
         process_index: int = None,
         process_count: int = None,
@@ -228,6 +281,7 @@ class FastEvalLoader:
         self.start_index = start_index
         self.num_threads = num_threads
         self.prefetch = prefetch
+        self.num_workers = max(1, int(num_workers))
         self.tencrop = tencrop  # emit (B, T, 5, c, c, 3); flips added on-device
         self.sampler = SampleFrames(
             clip_len=1, frame_interval=1, num_clips=num_segments, test_mode=True
@@ -282,29 +336,9 @@ class FastEvalLoader:
             batches = [
                 np.arange(n)[i : i + self.batch_size] for i in range(0, n, self.batch_size)
             ]
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = object()
-        error: List[BaseException] = []
-
-        def producer():
-            try:
-                for bidx in batches:
-                    q.put(self._make_batch(bidx))
-            except BaseException as e:  # re-raised in the consumer
-                error.append(e)
-            finally:
-                q.put(stop)
-
-        th = threading.Thread(target=producer, daemon=True)
-        th.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
-        th.join()
-        if error:
-            raise error[0]
+        yield from _parallel_ordered_iter(
+            batches, self._make_batch, self.num_workers, self.prefetch
+        )
 
 
 class FastBGMixLoader:
@@ -332,6 +366,7 @@ class FastBGMixLoader:
         drop_last: bool = True,
         pad_to_batch: bool = False,  # wrap-pad the tail; emits sample_weight
         prefetch: int = 2,
+        num_workers: int = 1,
         process_index: int = None,
         process_count: int = None,
     ):
@@ -370,6 +405,7 @@ class FastBGMixLoader:
         self.drop_last = drop_last
         self.pad_to_batch = pad_to_batch
         self.prefetch = prefetch
+        self.num_workers = max(1, int(num_workers))
         self.epoch = 0
         self.sampler = SampleFrames(clip_len=1, frame_interval=1, num_clips=num_segments)
         # original (w, h) per frame_dir / bg file, probed from JPEG headers
@@ -534,28 +570,8 @@ class FastBGMixLoader:
                 for idxs, w in batches
             ]
 
-        # single producer thread keeps one batch decoding while the device
-        # trains on the previous one (the C++ kernel releases the GIL)
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = object()
-        error: List[BaseException] = []
-
-        def producer():
-            try:
-                for bidx, w in batches:
-                    q.put(self._make_batch(bidx, w))
-            except BaseException as e:  # re-raised in the consumer
-                error.append(e)
-            finally:
-                q.put(stop)
-
-        th = threading.Thread(target=producer, daemon=True)
-        th.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
-        th.join()
-        if error:
-            raise error[0]
+        # worker pool keeps batches decoding while the device trains on the
+        # previous one; ordered reassembly preserves determinism
+        yield from _parallel_ordered_iter(
+            batches, self._make_batch, self.num_workers, self.prefetch
+        )
