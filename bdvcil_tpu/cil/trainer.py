@@ -447,6 +447,9 @@ class CILTrainer:
             seed=self.seed,
             drop_last=not pad_to_batch,
             pad_to_batch=pad_to_batch,
+            # production tuning on many-core TPU hosts (PERF_NOTES "Loader
+            # producer pool"); default 1 suits small/quota-limited hosts
+            num_workers=int(self.config.get("fast_input_workers", 1)),
         )
         input_fn = make_fast_input_fn(
             alpha=float(getattr(ds, "alpha", 0.5)),

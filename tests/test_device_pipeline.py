@@ -440,3 +440,28 @@ def test_probe_dims_batch(fast_env):
     dims = native.probe_dims_batch(paths)
     assert dims.shape == (2, 2)
     assert (dims[:, 0] == 340).all() and (dims[:, 1] == 256).all()
+
+
+def test_parallel_ordered_iter_order_and_errors():
+    from bdvcil_tpu.data.device_pipeline import _parallel_ordered_iter
+
+    # order preserved regardless of per-item latency
+    import time as _time
+
+    def make(i):
+        _time.sleep(0.01 * ((7 - i) % 3))
+        return i * 10
+
+    out = list(_parallel_ordered_iter(list(range(12)), make, num_workers=3, prefetch=2))
+    assert out == [i * 10 for i in range(12)]
+
+    # a worker exception propagates to the consumer
+    def boom(i):
+        if i == 3:
+            raise RuntimeError("decode failed")
+        return i
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="decode failed"):
+        list(_parallel_ordered_iter(list(range(6)), boom, num_workers=2, prefetch=1))
