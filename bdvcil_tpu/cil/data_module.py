@@ -282,7 +282,12 @@ class CILDataModule:
                 num_segments, short_side, crop, tencrop = params
                 return FastEvalLoader(
                     dataset.video_infos,
-                    batch_size=self.test_batch_size,
+                    # *_videos_per_gpu is a per-device batch (reference
+                    # config :8); the global batch scales with the mesh,
+                    # which also keeps multi-process inference batches
+                    # mesh-divisible (run_inference's multiprocess path
+                    # cannot pad mid-batch without breaking row order)
+                    batch_size=self.test_batch_size * self.world_size,
                     num_segments=num_segments,
                     crop_size=crop,
                     short_side=short_side,
@@ -292,7 +297,7 @@ class CILDataModule:
                 )
         return DataLoader(
             dataset,
-            batch_size=self.test_batch_size,
+            batch_size=self.test_batch_size * self.world_size,
             shuffle=False,
             num_workers=self.config.testing_workers_per_gpu,
             drop_last=False,
@@ -321,7 +326,7 @@ class CILDataModule:
             return fast
         return DataLoader(
             self.features_extraction_dataset,
-            batch_size=self.batch_size,
+            batch_size=self.batch_size * self.world_size,
             shuffle=False,
             num_workers=self.config.workers_per_gpu,
         )

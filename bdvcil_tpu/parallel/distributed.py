@@ -41,6 +41,19 @@ def initialize(
     """
     import os
 
+    # Honor an explicit JAX_PLATFORMS before ANY backend discovery: some
+    # images force-register a TPU plugin at interpreter startup that wins
+    # over the env var (the __graft_entry__ dryrun does the same dance).
+    # Without this, every process of a multi-process CPU run still opens a
+    # connection to the tunneled TPU during backend discovery, and two
+    # concurrent clients contending for the one chip deadlock at startup.
+    plats = os.environ.get("JAX_PLATFORMS", "").strip()
+    if plats:
+        try:
+            jax.config.update("jax_platforms", plats)
+        except Exception:  # backend already initialized; keep going
+            pass
+
     # Do NOT touch jax.process_count()/jax.devices() here: querying devices
     # initializes the single-process backend and makes a later
     # jax.distributed.initialize a silent no-op.
