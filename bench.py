@@ -197,7 +197,7 @@ def bench_train_e2e(print_json=True):
         "e2e_train_clips_per_sec_per_chip": round(rate, 2),
         "e2e_vs_baseline": round(rate / BASELINE_CLIPS_PER_SEC_PER_CHIP, 2),
         "host_decode_frames_per_sec": round(host_frames_per_sec, 1),
-        "e2e_note": "decode-bound on this dev host; v5e hosts have ~26 vCPU/chip",
+        "e2e_note": "host-bound on this ~4-core-quota dev box; v5e hosts have ~26 vCPU/chip",
     }
     if print_json:
         print(
