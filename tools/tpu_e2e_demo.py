@@ -61,6 +61,14 @@ def make_config(root, frames_root, train_ann, val_ann, work_dir, args):
     )
     task0 = list(range(nc0))
     task1 = list(range(nc0, args.classes))
+    if args.method == "base":
+        head = dict(type="LocalSimilarityClassifier", out_features=nc0, nb_proxies=1)
+        loss = dict(type="LSCLoss")
+        avg = "prob"
+    else:  # iCaRL families: SimpleLinear + CE, score averaging (icarl.py:34)
+        head = dict(type="SimpleLinear", out_features=nc0)
+        loss = dict(type="CrossEntropyLoss")
+        avg = "score"
     cfg = dict(
         work_dir=str(work_dir),
         videos_per_gpu=16,
@@ -69,7 +77,9 @@ def make_config(root, frames_root, train_ann, val_ann, work_dir, args):
         testing_videos_per_gpu=8,
         testing_workers_per_gpu=2,
         task_splits=[task0, task1],
-        methods="base",
+        methods=args.method,
+        video_mix_prob=0.5,
+        video_mix_alpha=1.0,
         starting_task=0,
         ending_task=1,
         use_cbf=False,
@@ -94,13 +104,12 @@ def make_config(root, frames_root, train_ann, val_ann, work_dir, args):
                 type="IncrementalTSMHead",
                 num_classes=nc0,
                 in_channels=2048,
-                inc_head_config=dict(type="LocalSimilarityClassifier",
-                                     out_features=nc0, nb_proxies=1),
+                inc_head_config=head,
                 num_segments=8,
-                loss_cls=dict(type="LSCLoss"),
+                loss_cls=loss,
                 dropout_ratio=0.5,
             ),
-            test_cfg=dict(average_clips="prob"),
+            test_cfg=dict(average_clips=avg),
         ),
         kd_modules_names=["backbone.layer1", "backbone.layer2", "backbone.layer3",
                           "backbone.layer4", "cls_head.avg_pool"],
@@ -141,6 +150,8 @@ def main():
     ap.add_argument("--classes", type=int, default=12)
     ap.add_argument("--videos", type=int, default=4, help="videos per class")
     ap.add_argument("--epochs", type=int, default=1)
+    ap.add_argument("--method", default="base",
+                    choices=["base", "icarl", "icarl_video_mix"])
     args = ap.parse_args()
 
     from tests.synthetic import make_rawframe_tree
@@ -178,6 +189,7 @@ def main():
     ckpts = sorted(str(p.name) for p in (work_dir / "ckpt").glob("ckpt_task_*.msgpack"))
     print(json.dumps({
         "demo": "full CIL orchestration on TPU (TSM-R50 8x224, fast input path)",
+        "method": args.method,
         "platform": jax.devices()[0].platform,
         "tasks": 2,
         "wall_s": round(dt, 1),
