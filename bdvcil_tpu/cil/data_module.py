@@ -288,6 +288,7 @@ class CILDataModule:
                     # mesh-divisible (run_inference's multiprocess path
                     # cannot pad mid-batch without breaking row order)
                     batch_size=self.test_batch_size * self.world_size,
+                    num_workers=int(self.config.get("fast_input_workers", 1)),
                     num_segments=num_segments,
                     crop_size=crop,
                     short_side=short_side,

@@ -307,7 +307,9 @@ class CILTrainer:
         # checkpointing is disabled, cil.py:750 — recovery is per-task only)
         use_snap = bool(self.config.get("mid_task_checkpointing", False))
         snap_every = max(1, int(self.config.get("mid_task_ckpt_every", 1)))
-        snap_path = self.ckpt_dir / "mid_task_snapshot.msgpack"
+        # one snapshot file per phase: a cbf-phase snapshot must survive the
+        # inc_step rerun that precedes train_cbf on a post-preemption restart
+        snap_path = self.ckpt_dir / f"mid_task_snapshot_{phase_name}.msgpack"
         start_epoch = 0
         resume_key = None
         if use_snap:
@@ -317,7 +319,7 @@ class CILTrainer:
                 and meta.get("phase") == phase_name
                 and int(meta.get("num_classes", -1)) == nc
             ):
-                state, resume_key = load_train_snapshot(snap_path, state)
+                state, resume_key, meta = load_train_snapshot(snap_path, state)
                 start_epoch = int(meta["epoch"]) + 1
                 if meta.get("current_best") is not None:
                     # keep save-best monotone across the preemption
@@ -627,9 +629,42 @@ class CILTrainer:
         return cnn, nme
 
     # -- the outer loop ------------------------------------------------------
+    def _cbf_resume_ready(self) -> bool:
+        """True when a cbf-phase snapshot for the current task exists along
+        with the task's exemplar ann file: the interrupted run already
+        completed inc_step + exemplar building (both durably recorded), so
+        re-training inc_step would only waste time AND desync the cbf
+        dataset from the snapshot's data stream."""
+        if not (
+            self.config.get("mid_task_checkpointing", False)
+            and self._current_task == self.starting_task
+            and self._current_task > 0
+            and self.config.get("use_cbf", False)
+        ):
+            return False
+        meta = peek_train_snapshot_meta(self.ckpt_dir / "mid_task_snapshot_cbf_step.msgpack")
+        ex_file = self.data_module.exemplar_dir / f"exemplar_task_{self._current_task}.txt"
+        return (
+            meta is not None
+            and int(meta.get("task", -1)) == self._current_task
+            and ex_file.exists()
+        )
+
     def train(self) -> None:
         while self._current_task < self.num_tasks:
             self.print_task_info()
+            if self._cbf_resume_ready():
+                logger.info(
+                    "cbf-phase snapshot found for task %d: skipping inc_step "
+                    "retrain + exemplar rebuild, resuming CBF", self._current_task,
+                )
+                ex_file = self.data_module.exemplar_dir / f"exemplar_task_{self._current_task}.txt"
+                self.data_module.exemplar_datasets.append(
+                    self.data_module.build_exemplar_dataset(str(ex_file))
+                )
+                self.train_cbf()
+                self._finish_task()
+                continue
             logger.info("Start training for task %d", self._current_task)
             self.train_task()
 
@@ -644,33 +679,37 @@ class CILTrainer:
             if self._current_task > 0 and self.config.get("use_cbf", False):
                 self.train_cbf()
 
-            if self.config.get("save_best", False) and self._ckpt_path(self._current_task).exists():
-                logger.info("Load from best ckpt")
-                self.variables = self._load_task_ckpt(self._current_task)
-            else:
-                logger.info("Save last ckpt")
-                self._save_task_ckpt(self._current_task)
+            self._finish_task()
 
-            exemplar_class_means = self._get_exemplar_class_means(
-                self._current_task, override_class_mean_ckpt=True
-            )
-            self._testing(
-                val_test="val",
-                exemplar_class_means=exemplar_class_means,
-                task_indices=[0, self._current_task],
-            )
+    def _finish_task(self) -> None:
+        """Checkpoint + NME/CNN testing + advance (the per-task loop tail)."""
+        if self.config.get("save_best", False) and self._ckpt_path(self._current_task).exists():
+            logger.info("Load from best ckpt")
+            self.variables = self._load_task_ckpt(self._current_task)
+        else:
+            logger.info("Save last ckpt")
+            self._save_task_ckpt(self._current_task)
 
-            # advance to the next task
-            self._current_task += 1
-            if self._current_task < self.num_tasks:
-                nc = self.num_classes(self._current_task)
-                self.prev_variables = jax.tree.map(jnp.copy, self.variables)
-                self.variables = self.spec.grow_params(self.variables, nc, self._next_key())
-                self.prev_variables = self.spec.grow_params(
-                    self.prev_variables, nc, self._next_key()
-                )
-                self.data_module.reload_train_dataset(use_internal_exemplar=True)
-            logger.info("#" * 80)
+        exemplar_class_means = self._get_exemplar_class_means(
+            self._current_task, override_class_mean_ckpt=True
+        )
+        self._testing(
+            val_test="val",
+            exemplar_class_means=exemplar_class_means,
+            task_indices=[0, self._current_task],
+        )
+
+        # advance to the next task
+        self._current_task += 1
+        if self._current_task < self.num_tasks:
+            nc = self.num_classes(self._current_task)
+            self.prev_variables = jax.tree.map(jnp.copy, self.variables)
+            self.variables = self.spec.grow_params(self.variables, nc, self._next_key())
+            self.prev_variables = self.spec.grow_params(
+                self.prev_variables, nc, self._next_key()
+            )
+            self.data_module.reload_train_dataset(use_internal_exemplar=True)
+        logger.info("#" * 80)
 
     def print_task_info(self) -> None:
         logger.info(

@@ -128,11 +128,14 @@ def _parallel_ordered_iter(batches, make, num_workers: int, prefetch: int):
     cond = threading.Condition()
     results: Dict[int, object] = {}
     error: List[BaseException] = []
+    stopping = [False]  # set when the consumer exits (error / abandonment)
 
     def worker():
         try:
             while True:
                 sem.acquire()
+                if stopping[0]:
+                    return
                 with task_lock:
                     try:
                         i, args = next(tasks)
@@ -151,19 +154,30 @@ def _parallel_ordered_iter(batches, make, num_workers: int, prefetch: int):
     threads = [threading.Thread(target=worker, daemon=True) for _ in range(num_workers)]
     for th in threads:
         th.start()
-    for i in range(len(batches)):
-        with cond:
-            while i not in results and not error:
-                cond.wait()
-            if error:
-                raise error[0]
-            batch = results.pop(i)
-        sem.release()
-        yield batch
-    for th in threads:
-        th.join()
-    if error:
-        raise error[0]
+    try:
+        for i in range(len(batches)):
+            with cond:
+                while i not in results and not error:
+                    cond.wait()
+                if error:
+                    raise error[0]
+                batch = results.pop(i)
+            sem.release()
+            yield batch
+        for th in threads:
+            th.join()
+        if error:
+            raise error[0]
+    finally:
+        # unblock workers parked on sem.acquire if the consumer left early
+        # (worker error or an abandoned generator) so they exit instead of
+        # pinning decoded batches for the life of the process
+        stopping[0] = True
+        for _ in threads:
+            try:
+                sem.release()
+            except ValueError:  # BoundedSemaphore already full
+                break
 
 
 def _fixed_crop_offsets(rw: int, rh: int, crop_w: int, crop_h: int = None) -> List:

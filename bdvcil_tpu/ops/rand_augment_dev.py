@@ -175,22 +175,42 @@ def _op_equalize(imgs, val, sign, loc):
     return jax.vmap(one)(imgs)
 
 
-def _op_rotate(imgs, val, sign, loc):
+# -- affine matrix builders (single source of truth: both the per-op
+# functions and the batch path's matrix select use these) ------------------
+
+
+def _rotate_matrix(val, sign, h: int, w: int):
     # PIL rotate(angle) negates the angle before building the inverse-map
     # affine matrix around the image center
     angle = -jnp.where(sign, -val, val) * (jnp.pi / 180.0)
-    h, w = imgs.shape[1], imgs.shape[2]
     cx, cy = w / 2.0, h / 2.0
     cos, sin = jnp.cos(angle), jnp.sin(angle)
-    matrix = (
-        cos,
-        sin,
-        cx - cx * cos - cy * sin,
-        -sin,
-        cos,
-        cy + cx * sin - cy * cos,
-    )
-    return _per_frame(_affine_nearest)(imgs, matrix)
+    return (cos, sin, cx - cx * cos - cy * sin, -sin, cos, cy + cx * sin - cy * cos)
+
+
+def _shear_x_matrix(val, sign, h: int, w: int):
+    v = jnp.where(sign, -val, val)
+    return (1.0, v, 0.0, 0.0, 1.0, 0.0)
+
+
+def _shear_y_matrix(val, sign, h: int, w: int):
+    v = jnp.where(sign, -val, val)
+    return (1.0, 0.0, 0.0, v, 1.0, 0.0)
+
+
+def _translate_x_matrix(val, sign, h: int, w: int):
+    v = jnp.where(sign, -val, val) * w
+    return (1.0, 0.0, v, 0.0, 1.0, 0.0)
+
+
+def _translate_y_matrix(val, sign, h: int, w: int):
+    v = jnp.where(sign, -val, val) * h
+    return (1.0, 0.0, 0.0, 0.0, 1.0, v)
+
+
+def _op_rotate(imgs, val, sign, loc):
+    h, w = imgs.shape[1], imgs.shape[2]
+    return _per_frame(_affine_nearest)(imgs, _rotate_matrix(val, sign, h, w))
 
 
 def _op_solarize(imgs, val, sign, loc):
@@ -251,25 +271,23 @@ def _op_sharpness(imgs, val, sign, loc):
 
 
 def _shear_x(imgs, val, sign, loc):
-    v = jnp.where(sign, -val, val)
-    return _per_frame(_affine_nearest)(imgs, (1.0, v, 0.0, 0.0, 1.0, 0.0))
+    h, w = imgs.shape[1], imgs.shape[2]
+    return _per_frame(_affine_nearest)(imgs, _shear_x_matrix(val, sign, h, w))
 
 
 def _shear_y(imgs, val, sign, loc):
-    v = jnp.where(sign, -val, val)
-    return _per_frame(_affine_nearest)(imgs, (1.0, 0.0, 0.0, v, 1.0, 0.0))
+    h, w = imgs.shape[1], imgs.shape[2]
+    return _per_frame(_affine_nearest)(imgs, _shear_y_matrix(val, sign, h, w))
 
 
 def _translate_x(imgs, val, sign, loc):
-    w = imgs.shape[2]
-    v = jnp.where(sign, -val, val) * w
-    return _per_frame(_affine_nearest)(imgs, (1.0, 0.0, v, 0.0, 1.0, 0.0))
+    h, w = imgs.shape[1], imgs.shape[2]
+    return _per_frame(_affine_nearest)(imgs, _translate_x_matrix(val, sign, h, w))
 
 
 def _translate_y(imgs, val, sign, loc):
-    h = imgs.shape[1]
-    v = jnp.where(sign, -val, val) * h
-    return _per_frame(_affine_nearest)(imgs, (1.0, 0.0, 0.0, 0.0, 1.0, v))
+    h, w = imgs.shape[1], imgs.shape[2]
+    return _per_frame(_affine_nearest)(imgs, _translate_y_matrix(val, sign, h, w))
 
 
 def _op_posterize(imgs, val, sign, loc):
@@ -292,6 +310,18 @@ def _op_cutout(imgs, val, sign, loc):
     fill = jnp.asarray(FILL_COLOR, imgs.dtype)
     return jnp.where(in_box[None, :, :, None], fill, imgs)
 
+
+# indices into _OPS / OP_TABLE of the affine (geometric) ops
+_GEO_ROTATE, _GEO_SHEARX, _GEO_TRANSX, _GEO_TRANSY, _GEO_SHEARY = 3, 9, 10, 11, 13
+_GEO_IDS = (_GEO_ROTATE, _GEO_SHEARX, _GEO_TRANSX, _GEO_TRANSY, _GEO_SHEARY)
+
+_GEO_MATRIX_FNS = (
+    (_GEO_ROTATE, _rotate_matrix),
+    (_GEO_SHEARX, _shear_x_matrix),
+    (_GEO_SHEARY, _shear_y_matrix),
+    (_GEO_TRANSX, _translate_x_matrix),
+    (_GEO_TRANSY, _translate_y_matrix),
+)
 
 _OPS = (
     _op_identity,
@@ -339,34 +369,14 @@ def rand_augment_clip(key: jax.Array, imgs: jax.Array, n: int = 2, m: int = 10) 
     return imgs
 
 
-# indices into _OPS / OP_TABLE of the affine (geometric) ops
-_GEO_ROTATE, _GEO_SHEARX, _GEO_TRANSX, _GEO_TRANSY, _GEO_SHEARY = 3, 9, 10, 11, 13
-_GEO_IDS = (_GEO_ROTATE, _GEO_SHEARX, _GEO_TRANSX, _GEO_TRANSY, _GEO_SHEARY)
-
-
 def _affine_matrix_for_op(op_idx, sign, vals, h: int, w: int):
     """Per-clip PIL inverse-map affine matrix (a,b,c,d,e,f) for the chosen
-    op — identity when the op is not geometric. Pure per-clip scalar math;
-    reproduces _op_rotate/_shear_x/_shear_y/_translate_x/_translate_y."""
-    f32 = jnp.float32
-    # rotate (matches _op_rotate)
-    angle = -jnp.where(sign, -f32(vals[_GEO_ROTATE]), f32(vals[_GEO_ROTATE])) * (jnp.pi / 180.0)
-    cx, cy = w / 2.0, h / 2.0
-    cos, sin = jnp.cos(angle), jnp.sin(angle)
-    rot = jnp.stack([cos, sin, cx - cx * cos - cy * sin, -sin, cos, cy + cx * sin - cy * cos])
-    vx = jnp.where(sign, -f32(vals[_GEO_SHEARX]), f32(vals[_GEO_SHEARX]))
-    shx = jnp.stack([f32(1), vx, f32(0), f32(0), f32(1), f32(0)])
-    vy = jnp.where(sign, -f32(vals[_GEO_SHEARY]), f32(vals[_GEO_SHEARY]))
-    shy = jnp.stack([f32(1), f32(0), f32(0), vy, f32(1), f32(0)])
-    tx = jnp.where(sign, -f32(vals[_GEO_TRANSX]), f32(vals[_GEO_TRANSX])) * w
-    trx = jnp.stack([f32(1), f32(0), tx, f32(0), f32(1), f32(0)])
-    ty = jnp.where(sign, -f32(vals[_GEO_TRANSY]), f32(vals[_GEO_TRANSY])) * h
-    try_ = jnp.stack([f32(1), f32(0), f32(0), f32(0), f32(1), ty])
-    ident = jnp.asarray([1.0, 0.0, 0.0, 0.0, 1.0, 0.0], jnp.float32)
-
-    mat = ident
-    for gid, cand in ((_GEO_ROTATE, rot), (_GEO_SHEARX, shx), (_GEO_SHEARY, shy),
-                      (_GEO_TRANSX, trx), (_GEO_TRANSY, try_)):
+    op — identity when the op is not geometric. Uses the SAME matrix
+    builders as the per-op functions (single source of truth)."""
+    mat = jnp.asarray([1.0, 0.0, 0.0, 0.0, 1.0, 0.0], jnp.float32)
+    for gid, builder in _GEO_MATRIX_FNS:
+        terms = builder(jnp.float32(vals[gid]), sign, h, w)
+        cand = jnp.stack([jnp.asarray(x, jnp.float32) for x in terms])
         mat = jnp.where(op_idx == gid, cand, mat)
     return mat
 

@@ -45,9 +45,15 @@ def make_mesh(
         devices = jax.devices()
     devices = list(devices)
     if hybrid_shape is None:
-        slice_ids = {getattr(d, "slice_index", 0) or 0 for d in devices}
-        if len(slice_ids) > 1 and len(devices) % len(slice_ids) == 0:
-            hybrid_shape = (len(slice_ids), len(devices) // len(slice_ids))
+        counts: dict = {}
+        for d in devices:
+            sid = getattr(d, "slice_index", 0) or 0
+            counts[sid] = counts.get(sid, 0) + 1
+        # only auto-enable for EQUAL slices: with unequal counts the (rows =
+        # slices) reshape would mix slices within an ICI row and hand XLA a
+        # wrong topology hint (DCN links treated as ICI)
+        if len(counts) > 1 and len(set(counts.values())) == 1:
+            hybrid_shape = (len(counts), len(devices) // len(counts))
     if hybrid_shape is not None:
         n_dcn, n_ici = int(hybrid_shape[0]), int(hybrid_shape[1])
         assert n_dcn * n_ici == len(devices), (hybrid_shape, len(devices))

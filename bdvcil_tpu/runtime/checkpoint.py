@@ -56,14 +56,17 @@ def save_train_snapshot(path: str | pathlib.Path, state, rng_key, meta: Dict) ->
 
     ``meta`` must identify the phase ({'task', 'phase', 'epoch',
     'num_classes'}) so a stale snapshot from a different task/phase is never
-    restored. tmp+rename keeps a preemption mid-write from leaving a
-    truncated file behind.
+    restored. The meta lives INSIDE the single msgpack payload — one
+    tmp+rename is the whole commit point, so a preemption can never pair a
+    new payload with an old meta. A JSON sidecar is also written for humans
+    but is never the source of truth.
     """
     import os
 
     path = pathlib.Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     payload = {
+        "meta": json.dumps(meta, default=float),
         "step": np.asarray(state.step),
         "params": _to_host(state.params),
         "batch_stats": _to_host(state.batch_stats),
@@ -73,22 +76,31 @@ def save_train_snapshot(path: str | pathlib.Path, state, rng_key, meta: Dict) ->
     tmp = path.with_name(path.name + ".tmp")
     tmp.write_bytes(serialization.msgpack_serialize(payload))
     os.replace(tmp, path)
-    meta_tmp = path.with_suffix(".json.tmp")
-    meta_tmp.write_text(json.dumps(meta, default=float))
-    os.replace(meta_tmp, path.with_suffix(".json"))
+    try:  # informational only
+        path.with_suffix(".json").write_text(json.dumps(meta, default=float))
+    except OSError:
+        pass
 
 
 def peek_train_snapshot_meta(path: str | pathlib.Path) -> Optional[Dict]:
-    meta_path = pathlib.Path(path).with_suffix(".json")
-    if not meta_path.exists() or not pathlib.Path(path).exists():
+    """Meta of a snapshot, from the payload itself (the sidecar is advisory)."""
+    path = pathlib.Path(path)
+    if not path.exists():
         return None
-    return json.loads(meta_path.read_text())
+    try:
+        raw = serialization.msgpack_restore(path.read_bytes())
+        return json.loads(raw["meta"])
+    except Exception:  # truncated/corrupt snapshot: treat as absent
+        return None
 
 
 def load_train_snapshot(path: str | pathlib.Path, state_target):
     """Restore a snapshot into a freshly-created TrainState of matching
     shapes (build it with ``TrainState.create(variables, tx)`` first — the
-    optimizer-state pytree structure comes from the target)."""
+    optimizer-state pytree structure comes from the target).
+
+    Returns (state, rng_key, meta) with meta read from the same payload the
+    state came from."""
     import jax.numpy as jnp
 
     raw = serialization.msgpack_restore(pathlib.Path(path).read_bytes())
@@ -98,7 +110,7 @@ def load_train_snapshot(path: str | pathlib.Path, state_target):
         batch_stats=serialization.from_state_dict(state_target.batch_stats, raw["batch_stats"]),
         opt_state=serialization.from_state_dict(state_target.opt_state, raw["opt_state"]),
     )
-    return state, jnp.asarray(raw["rng_key"])
+    return state, jnp.asarray(raw["rng_key"]), json.loads(raw["meta"])
 
 
 def clear_train_snapshot(path: str | pathlib.Path) -> None:

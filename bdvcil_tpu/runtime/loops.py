@@ -54,7 +54,9 @@ def train_epochs(
     snapshots). Throughput is metered in clips/sec.
     """
     meter = Throughput(warmup=2)
-    step = 0
+    # on mid-task resume, keep logged step numbers aligned with the true
+    # training step (state.step) instead of restarting from 0
+    step = start_epoch * len(loader) if start_epoch else 0
     last_metrics: Dict[str, float] = {}
     pending_metrics = None  # device arrays from the previous log step: reading
     # them one interval later avoids stalling the dispatch pipeline on a sync

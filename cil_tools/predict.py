@@ -44,7 +44,12 @@ def parse_args():
 
 
 def discover_videos(root: pathlib.Path, tmpl: str):
-    """(name, dir, num_frames) for every frame directory under root."""
+    """(name, dir, num_frames) for every frame directory under root.
+
+    Frames are counted by probing the filename template sequentially, so a
+    stray non-frame image in the directory can neither inflate the count
+    nor (when the count feeds SampleFrames) point the pipeline at a
+    nonexistent frame index."""
     probe = tmpl.format(1)
     if (root / probe).exists():
         dirs = [root]
@@ -52,7 +57,9 @@ def discover_videos(root: pathlib.Path, tmpl: str):
         dirs = sorted(d for d in root.iterdir() if d.is_dir() and (d / probe).exists())
     out = []
     for d in dirs:
-        n = len(list(d.glob("*.jpg"))) or len(list(d.glob("*.png")))
+        n = 0
+        while (d / tmpl.format(n + 1)).exists():
+            n += 1
         if n:
             out.append((d.name, d, n))
     return out
@@ -79,10 +86,12 @@ def main():
     fc = head.get("fc_weights") if "fc_weights" in head else head.get("fc_weight")
     num_classes = fc.shape[0]
 
-    # unlabeled ann file (label 0 placeholder) + the config's test pipeline
+    # placeholder ann file (label 0) + the config's test pipeline; the real
+    # frame dirs are injected as video_infos afterwards so paths containing
+    # whitespace never round-trip through the space-delimited ann format
     with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
-        for name, d, n in videos:
-            f.write(f"{d} {n} 0\n")
+        for i, (name, d, n) in enumerate(videos):
+            f.write(f"v{i} {n} 0\n")
         ann = f.name
     ds_cfg = dict(cfg.data.test)
     ds_cfg.update(ann_file=ann, data_prefix="", test_mode=True)
@@ -90,6 +99,9 @@ def main():
     if ds_cfg.get("type") != "RawframeDataset":
         ds_cfg["type"] = "RawframeDataset"  # no augmentation at predict time
     dataset = build_dataset(ds_cfg)
+    dataset.video_infos = [
+        dict(frame_dir=str(d), total_frames=n, label=0) for name, d, n in videos
+    ]
     loader = DataLoader(dataset, batch_size=args.batch_size, shuffle=False, num_workers=2)
 
     eval_step = make_eval_step(spec, num_classes)

@@ -73,7 +73,8 @@ def test_snapshot_roundtrip_exact(tmp_path):
     assert peek_train_snapshot_meta(path) == dict(task=1, phase="inc_step", epoch=1, num_classes=5)
 
     target = TrainState.create(variables, tx)  # fresh shapes/structure
-    restored, key = load_train_snapshot(path, target)
+    restored, key, meta2 = load_train_snapshot(path, target)
+    assert meta2 == dict(task=1, phase="inc_step", epoch=1, num_classes=5)
     assert int(restored.step) == int(state.step)
     np.testing.assert_array_equal(np.asarray(key), np.asarray(jax.random.PRNGKey(9)))
     jax.tree.map(np.testing.assert_array_equal, jax.tree.leaves(state.params),
@@ -112,7 +113,7 @@ def test_interrupted_run_bit_identical(tmp_path):
     step_fn3, state3, tx3, variables3 = _setup()
     meta = peek_train_snapshot_meta(path)
     assert meta["epoch"] == 1
-    restored, key = load_train_snapshot(path, TrainState.create(variables3, tx3))
+    restored, key, _ = load_train_snapshot(path, TrainState.create(variables3, tx3))
     final, _ = train_epochs(step_fn3, restored, None, FakeLoader(), num_epochs, key,
                             start_epoch=meta["epoch"] + 1)
 
@@ -181,13 +182,65 @@ def test_trainer_preemption_resume_bit_identical(tmp_path_factory, monkeypatch):
     with pytest.raises(Preempted):
         CILTrainer(cfg_b).train()
     monkeypatch.setattr(trainer_mod, "train_epochs", real)
-    assert (wd_b / "ckpt" / "mid_task_snapshot.msgpack").exists()
+    assert (wd_b / "ckpt" / "mid_task_snapshot_inc_step.msgpack").exists()
 
     # fresh process resumes task 1 from the snapshot
     cfg_b2 = make_cil_config(root, frames_root, train_ann, val_ann, wd_b,
                              starting_task=1, **common)
     CILTrainer(cfg_b2, dump_config=False).train()
-    assert not (wd_b / "ckpt" / "mid_task_snapshot.msgpack").exists()  # cleared
+    assert not (wd_b / "ckpt" / "mid_task_snapshot_inc_step.msgpack").exists()  # cleared
+
+    va, _ = load_checkpoint(wd_a / "ckpt" / "ckpt_task_1.msgpack")
+    vb, _ = load_checkpoint(wd_b / "ckpt" / "ckpt_task_1.msgpack")
+    for a, b in zip(jax.tree.leaves(va), jax.tree.leaves(vb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_trainer_cbf_preemption_resume_bit_identical(tmp_path_factory, monkeypatch):
+    """Preemption during the CBF phase: the cbf-phase snapshot must survive
+    the inc_step rerun (per-phase snapshot files) and resume bit-exact."""
+    from bdvcil_tpu.cil import CILTrainer
+    from bdvcil_tpu.runtime import load_checkpoint
+    import bdvcil_tpu.cil.trainer as trainer_mod
+    from tests.synthetic import make_rawframe_tree
+    from tests.test_cil_e2e import make_cil_config
+
+    root = tmp_path_factory.mktemp("midtask_cbf")
+    frames_root, train_ann, val_ann = make_rawframe_tree(
+        root, num_classes=3, videos_per_class=4, num_frames=8, size=(70, 92)
+    )
+    common = dict(
+        task_splits=[[0, 1], [2]], ending_task=1, num_epochs_per_task=2,
+        cbf_num_epochs_per_task=3, use_cbf=True, mid_task_checkpointing=True,
+    )
+
+    wd_a = root / "work_a"
+    CILTrainer(make_cil_config(root, frames_root, train_ann, val_ann, wd_a, **common)).train()
+
+    wd_b = root / "work_b"
+    real = trainer_mod.train_epochs
+
+    class Preempted(Exception):
+        pass
+
+    def dying(step_fn, state, prev, loader, num_epochs, key, **kw):
+        if kw.get("task_idx") == 1 and kw.get("phase") == "cbf_step":
+            real(step_fn, state, prev, loader, 2, key, **kw)  # 2 of 3 epochs
+            raise Preempted()
+        return real(step_fn, state, prev, loader, num_epochs, key, **kw)
+
+    monkeypatch.setattr(trainer_mod, "train_epochs", dying)
+    with pytest.raises(Preempted):
+        CILTrainer(make_cil_config(root, frames_root, train_ann, val_ann, wd_b, **common)).train()
+    monkeypatch.setattr(trainer_mod, "train_epochs", real)
+    assert (wd_b / "ckpt" / "mid_task_snapshot_cbf_step.msgpack").exists()
+    assert not (wd_b / "ckpt" / "mid_task_snapshot_inc_step.msgpack").exists()  # cleared
+
+    cfg_b2 = make_cil_config(root, frames_root, train_ann, val_ann, wd_b,
+                             starting_task=1, **common)
+    CILTrainer(cfg_b2, dump_config=False).train()
+    assert not (wd_b / "ckpt" / "mid_task_snapshot_cbf_step.msgpack").exists()
 
     va, _ = load_checkpoint(wd_a / "ckpt" / "ckpt_task_1.msgpack")
     vb, _ = load_checkpoint(wd_b / "ckpt" / "ckpt_task_1.msgpack")

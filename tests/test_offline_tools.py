@@ -263,3 +263,20 @@ data = dict(
         str(one), "--topk", "1",
     ])
     tool.main()
+
+
+def test_predict_discover_ignores_stray_images(tree, tmp_path):
+    """Frame counting probes the filename template: a stray non-frame jpg
+    must not inflate total_frames (it would point SampleFrames at a
+    nonexistent index)."""
+    from cil_tools.predict import discover_videos
+
+    root, frames_root, _, _ = tree
+    one = sorted(d for d in frames_root.iterdir() if d.is_dir())[0]
+    n_before = {name: n for name, d, n in discover_videos(frames_root, "img_{:05}.jpg")}
+    (one / "preview.jpg").write_bytes(b"\xff\xd8\xff\xd9")  # stray file
+    try:
+        after = {name: n for name, d, n in discover_videos(frames_root, "img_{:05}.jpg")}
+        assert after == n_before
+    finally:
+        (one / "preview.jpg").unlink()
