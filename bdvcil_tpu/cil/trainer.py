@@ -20,6 +20,8 @@ Differences from the reference that are deliberate TPU-first redesigns:
 
 from __future__ import annotations
 
+import hashlib
+import json
 import pathlib
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -84,6 +86,22 @@ class CILTrainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.seed = config.get("seed", 0)
         self._rng = jax.random.PRNGKey(self.seed)
+        # lineage identity for mid-task snapshots: a snapshot left in a reused
+        # work_dir by a run with a different seed / class split / method must
+        # never be restored against this run's prev_variables. Stable across
+        # process restarts of the SAME experiment (derived from config, not
+        # from startup time; starting_task/work_dir excluded — they change on
+        # resume).
+        ident = json.dumps(
+            {
+                "seed": self.seed,
+                "splits": config.task_splits,
+                "method": self.method,
+                "model": sorted((str(k), str(v)) for k, v in dict(config.model).items()),
+            },
+            default=str,
+        )
+        self._run_token = hashlib.sha1(ident.encode()).hexdigest()[:12]
 
         # data module + state
         self.data_module = CILDataModule(config)
@@ -318,6 +336,7 @@ class CILTrainer:
                 int(meta.get("task", -1)) == t
                 and meta.get("phase") == phase_name
                 and int(meta.get("num_classes", -1)) == nc
+                and self._snapshot_lineage_ok(meta)
             ):
                 state, resume_key, meta = load_train_snapshot(snap_path, state)
                 start_epoch = int(meta["epoch"]) + 1
@@ -336,7 +355,7 @@ class CILTrainer:
                 save_train_snapshot(
                     snap_path, state_now, rng_now,
                     meta=dict(task=t, phase=phase_name, epoch=epoch, num_classes=nc,
-                              current_best=self.current_best),
+                              current_best=self.current_best, run_token=self._run_token),
                 )
             distributed.sync_processes("mid_task_snapshot")
 
@@ -629,6 +648,12 @@ class CILTrainer:
         return cnn, nme
 
     # -- the outer loop ------------------------------------------------------
+    def _snapshot_lineage_ok(self, meta: Dict) -> bool:
+        """Pre-run_token snapshots (no key in meta) stay restorable; a token
+        from a DIFFERENT experiment in the same work_dir is rejected."""
+        token = meta.get("run_token")
+        return token is None or token == self._run_token
+
     def _cbf_resume_ready(self) -> bool:
         """True when a cbf-phase snapshot for the current task exists along
         with the task's exemplar ann file: the interrupted run already
@@ -644,11 +669,27 @@ class CILTrainer:
             return False
         meta = peek_train_snapshot_meta(self.ckpt_dir / "mid_task_snapshot_cbf_step.msgpack")
         ex_file = self.data_module.exemplar_dir / f"exemplar_task_{self._current_task}.txt"
-        return (
-            meta is not None
-            and int(meta.get("task", -1)) == self._current_task
-            and ex_file.exists()
+        if meta is None or not ex_file.exists():
+            return False
+        # must mirror EVERY condition of the in-phase restore (train_phase's
+        # meta check): if this check passes but that one rejects the snapshot,
+        # inc_step is skipped yet CBF fine-tunes from the previous task's
+        # weights — a silently degraded model
+        ok = (
+            int(meta.get("task", -1)) == self._current_task
+            and meta.get("phase") == "cbf_step"
+            and int(meta.get("num_classes", -1)) == self.num_classes(self._current_task)
+            and self._snapshot_lineage_ok(meta)
         )
+        if not ok:
+            logger.warning(
+                "cbf-phase snapshot for task %d rejected (meta %s does not match "
+                "current run: expected num_classes=%d, run_token=%s); running the "
+                "full task instead", self._current_task,
+                {k: meta.get(k) for k in ("task", "phase", "num_classes", "run_token")},
+                self.num_classes(self._current_task), self._run_token,
+            )
+        return ok
 
     def train(self) -> None:
         while self._current_task < self.num_tasks:

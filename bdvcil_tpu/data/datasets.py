@@ -101,7 +101,10 @@ class RawframeDataset:
         results = copy.deepcopy(self.video_infos[idx])
         results["filename_tmpl"] = self.filename_tmpl
         results["modality"] = self.modality
-        results["start_index"] = self.start_index
+        # a video_info may carry its own start_index (mixed 0-/1-based
+        # rawframe layouts, cil_tools/predict.py discovery); dataset-level
+        # start_index is the default
+        results.setdefault("start_index", self.start_index)
         results["index"] = idx
         results["rng"] = self._make_rng(idx)
         return results

@@ -293,7 +293,11 @@ class FastEvalLoader:
         self.short_side = short_side
         self.filename_tmpl = filename_tmpl
         self.start_index = start_index
-        self.num_threads = num_threads
+        # resolve the pool size here so N producer workers share the decode
+        # budget instead of each opening a full-size pool (native.default_threads)
+        self.num_threads = (
+            num_threads if num_threads > 0 else native.default_threads(share=max(1, int(num_workers)))
+        )
         self.prefetch = prefetch
         self.num_workers = max(1, int(num_workers))
         self.tencrop = tencrop  # emit (B, T, 5, c, c, 3); flips added on-device
@@ -415,7 +419,11 @@ class FastBGMixLoader:
         self.flip_ratio = flip_ratio
         self.shuffle = shuffle
         self.seed = seed
-        self.num_threads = num_threads
+        # resolve the pool size here so N producer workers share the decode
+        # budget instead of each opening a full-size pool (native.default_threads)
+        self.num_threads = (
+            num_threads if num_threads > 0 else native.default_threads(share=max(1, int(num_workers)))
+        )
         self.drop_last = drop_last
         self.pad_to_batch = pad_to_batch
         self.prefetch = prefetch

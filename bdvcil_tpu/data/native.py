@@ -117,7 +117,7 @@ def available() -> bool:
     return _load() is not None
 
 
-def default_threads() -> int:
+def default_threads(share: int = 1) -> int:
     """Decode-pool size when the caller passes num_threads<=0.
 
     ``os.cpu_count()`` under-reports inside cgroup-limited containers (this
@@ -127,6 +127,11 @@ def default_threads() -> int:
     rate) exceeds a min(8, ...) cap. Decode threads mix I/O with compute, so
     mild oversubscription is cheap: floor at 8, follow the affinity mask /
     cpu count above that, and let BDVC_DECODE_THREADS override everything.
+
+    ``share``: number of concurrent decode call sites that will each size a
+    pool this way (the fast loaders pass their ``num_workers``) — the budget
+    is divided so N producer workers don't run N full-size pools.
+    BDVC_DECODE_THREADS bypasses the division (it is a per-pool override).
     """
     env = os.environ.get("BDVC_DECODE_THREADS")
     if env:
@@ -135,7 +140,7 @@ def default_threads() -> int:
         n = len(os.sched_getaffinity(0))
     except AttributeError:  # non-Linux
         n = os.cpu_count() or 1
-    return max(8, n)
+    return max(1, max(8, n) // max(1, share))
 
 
 def decode_file(path: str, max_bytes: int = 64 * 1024 * 1024) -> np.ndarray:

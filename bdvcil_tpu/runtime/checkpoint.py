@@ -51,43 +51,68 @@ def load_checkpoint(path: str | pathlib.Path) -> Tuple[Dict[str, Any], Optional[
 # instead of re-running the whole task.
 
 
+_SNAP_MAGIC = b"BDVSNAP1"  # header: magic + u32le meta length + meta JSON
+
+
 def save_train_snapshot(path: str | pathlib.Path, state, rng_key, meta: Dict) -> None:
     """Atomically write a rolling snapshot of a TrainState mid-phase.
 
     ``meta`` must identify the phase ({'task', 'phase', 'epoch',
-    'num_classes'}) so a stale snapshot from a different task/phase is never
-    restored. The meta lives INSIDE the single msgpack payload — one
-    tmp+rename is the whole commit point, so a preemption can never pair a
-    new payload with an old meta. A JSON sidecar is also written for humans
-    but is never the source of truth.
+    'num_classes', 'run_token'}) so a stale snapshot from a different
+    task/phase/experiment is never restored. The meta rides in a
+    length-prefixed header of the SAME file as the msgpack payload (and is
+    duplicated inside the payload) — one tmp+rename is the whole commit
+    point, so a preemption can never pair a new payload with an old meta,
+    and ``peek_train_snapshot_meta`` reads only the small header instead of
+    deserializing hundreds of MB of weights at every phase start. A JSON
+    sidecar is also written for humans but is never the source of truth.
     """
     import os
 
     path = pathlib.Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
+    meta_json = json.dumps(meta, default=float)
     payload = {
-        "meta": json.dumps(meta, default=float),
+        "meta": meta_json,
         "step": np.asarray(state.step),
         "params": _to_host(state.params),
         "batch_stats": _to_host(state.batch_stats),
         "opt_state": _to_host(serialization.to_state_dict(state.opt_state)),
         "rng_key": np.asarray(rng_key),
     }
+    meta_bytes = meta_json.encode()
+    header = _SNAP_MAGIC + len(meta_bytes).to_bytes(4, "little") + meta_bytes
     tmp = path.with_name(path.name + ".tmp")
-    tmp.write_bytes(serialization.msgpack_serialize(payload))
+    tmp.write_bytes(header + serialization.msgpack_serialize(payload))
     os.replace(tmp, path)
     try:  # informational only
-        path.with_suffix(".json").write_text(json.dumps(meta, default=float))
+        path.with_suffix(".json").write_text(meta_json)
     except OSError:
         pass
 
 
+def _split_snapshot_header(path: pathlib.Path):
+    """(meta dict or None, payload byte offset) — header-only read."""
+    with open(path, "rb") as f:
+        magic = f.read(len(_SNAP_MAGIC))
+        if magic != _SNAP_MAGIC:  # legacy snapshot: bare msgpack, meta inside
+            return None, 0
+        n = int.from_bytes(f.read(4), "little")
+        meta = json.loads(f.read(n))
+        return meta, len(_SNAP_MAGIC) + 4 + n
+
+
 def peek_train_snapshot_meta(path: str | pathlib.Path) -> Optional[Dict]:
-    """Meta of a snapshot, from the payload itself (the sidecar is advisory)."""
+    """Meta of a snapshot, from the snapshot file itself (the sidecar is
+    advisory). Reads only the header for current-format snapshots; falls
+    back to a full payload parse for legacy ones."""
     path = pathlib.Path(path)
     if not path.exists():
         return None
     try:
+        meta, _ = _split_snapshot_header(path)
+        if meta is not None:
+            return meta
         raw = serialization.msgpack_restore(path.read_bytes())
         return json.loads(raw["meta"])
     except Exception:  # truncated/corrupt snapshot: treat as absent
@@ -103,7 +128,9 @@ def load_train_snapshot(path: str | pathlib.Path, state_target):
     state came from."""
     import jax.numpy as jnp
 
-    raw = serialization.msgpack_restore(pathlib.Path(path).read_bytes())
+    path = pathlib.Path(path)
+    _, offset = _split_snapshot_header(path)
+    raw = serialization.msgpack_restore(path.read_bytes()[offset:])
     state = state_target.replace(
         step=jnp.asarray(raw["step"]),
         params=serialization.from_state_dict(state_target.params, raw["params"]),

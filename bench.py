@@ -160,10 +160,15 @@ def bench_train_e2e(print_json=True):
     )
     key = jax.random.PRNGKey(0)
 
+    from bdvcil_tpu.runtime.loops import prefetch_to_device
+
     def run_epoch():
         nonlocal state, key
         n = 0
-        for b in loader:
+        # device-prefetch depth 2: the u8 batch transfer runs in a background
+        # thread while the device executes the previous step (same overlap
+        # train_epochs uses in production)
+        for b in prefetch_to_device(loader, size=2):
             imgs = {k: v for k, v in b.items() if k != "label"}
             key, sk = jax.random.split(key)
             state, metrics = step(state, None, imgs, b["label"], {}, sk)

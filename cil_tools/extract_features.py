@@ -28,6 +28,9 @@ def parse_args():
 
 
 def main():
+    from bdvcil_tpu.parallel import distributed
+
+    distributed.initialize()  # multi-host rendezvous (no-op single-process)
     args = parse_args()
     root_dir = pathlib.Path(args.root_dir)
     dst = root_dir / args.dst
@@ -73,8 +76,10 @@ def main():
         "features_by_class": features_by_class,
         "model_weights": np.asarray(fc).tolist(),
     }
-    dst.write_text(json.dumps(data))
-    print("Saved features at:", dst)
+    if distributed.is_primary():  # every process holds the gathered scores;
+        dst.write_text(json.dumps(data))  # rank 0 writes
+        print("Saved features at:", dst)
+    distributed.sync_processes("extract_features_write")
 
 
 if __name__ == "__main__":

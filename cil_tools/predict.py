@@ -44,28 +44,42 @@ def parse_args():
 
 
 def discover_videos(root: pathlib.Path, tmpl: str):
-    """(name, dir, num_frames) for every frame directory under root.
+    """(name, dir, num_frames, start_index) for every frame directory under
+    root.
 
     Frames are counted by probing the filename template sequentially, so a
     stray non-frame image in the directory can neither inflate the count
     nor (when the count feeds SampleFrames) point the pipeline at a
-    nonexistent frame index."""
-    probe = tmpl.format(1)
-    if (root / probe).exists():
+    nonexistent frame index. Both 0-based (img_00000 first) and 1-based
+    rawframe layouts are detected; the observed start index is returned so
+    the dataset samples frame 0 when it exists."""
+    probes = [tmpl.format(0), tmpl.format(1)]
+
+    def _start(d: pathlib.Path):
+        for start, probe in zip((0, 1), probes):
+            if (d / probe).exists():
+                return start
+        return None
+
+    if _start(root) is not None:
         dirs = [root]
     else:
-        dirs = sorted(d for d in root.iterdir() if d.is_dir() and (d / probe).exists())
+        dirs = sorted(d for d in root.iterdir() if d.is_dir() and _start(d) is not None)
     out = []
     for d in dirs:
+        start = _start(d)
         n = 0
-        while (d / tmpl.format(n + 1)).exists():
+        while (d / tmpl.format(start + n)).exists():
             n += 1
         if n:
-            out.append((d.name, d, n))
+            out.append((d.name, d, n, start))
     return out
 
 
 def main():
+    from bdvcil_tpu.parallel import distributed
+
+    distributed.initialize()  # multi-host rendezvous (no-op single-process)
     args = parse_args()
     cfg = Config.fromfile(args.config)
 
@@ -90,7 +104,7 @@ def main():
     # frame dirs are injected as video_infos afterwards so paths containing
     # whitespace never round-trip through the space-delimited ann format
     with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
-        for i, (name, d, n) in enumerate(videos):
+        for i, (name, d, n, start) in enumerate(videos):
             f.write(f"v{i} {n} 0\n")
         ann = f.name
     ds_cfg = dict(cfg.data.test)
@@ -99,8 +113,12 @@ def main():
     if ds_cfg.get("type") != "RawframeDataset":
         ds_cfg["type"] = "RawframeDataset"  # no augmentation at predict time
     dataset = build_dataset(ds_cfg)
+    # per-video start_index: 0-based layouts (img_00000.jpg first) must shift
+    # the sampler, or frame 0 would never be read and the last index would
+    # probe past the end; mixed 0-/1-based dirs each keep their own start
     dataset.video_infos = [
-        dict(frame_dir=str(d), total_frames=n, label=0) for name, d, n in videos
+        dict(frame_dir=str(d), total_frames=n, label=0, start_index=start)
+        for name, d, n, start in videos
     ]
     loader = DataLoader(dataset, batch_size=args.batch_size, shuffle=False, num_workers=2)
 
@@ -117,7 +135,7 @@ def main():
 
     topk = min(args.topk, num_classes)
     results = []
-    for i, (name, d, n) in enumerate(videos):
+    for i, (name, d, n, start) in enumerate(videos):
         order = np.argsort(scores[i])[::-1][:topk]
         entry = {
             "video": name,
@@ -135,6 +153,8 @@ def main():
     os.unlink(ann)
 
     payload = json.dumps({"predictions": results}, indent=2)
+    if not distributed.is_primary():  # every process computed the full
+        return  # gathered scores; only rank 0 reports
     if args.output:
         pathlib.Path(args.output).write_text(payload)
         print(f"wrote {len(results)} predictions to {args.output}")

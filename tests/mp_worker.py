@@ -102,6 +102,27 @@ def main():
         num_workers=2, drop_last=False, pad_to_batch=True,
     )
     step = make_train_step(spec, tx, num_classes=nc, method="base", task_idx=0)
+
+    # step-0 loss probe (non-donating so `state` stays valid): reproduces
+    # train_epochs' first iteration exactly — same batch, same derived key —
+    # a reduction/sharding bug shows up here at ~1e-7 instead of hiding
+    # under an epoch of fp drift (round-2 VERDICT Weak #6)
+    from bdvcil_tpu.parallel.mesh import shard_batch
+    from bdvcil_tpu.runtime.loops import _extra_fields
+
+    probe_step = make_train_step(
+        spec, tx, num_classes=nc, method="base", task_idx=0, donate=False
+    )
+    loader.set_epoch(0)
+    batch0 = next(iter(loader))
+    extra0 = _extra_fields(batch0)
+    put0 = shard_batch({"imgs": batch0["imgs"], "label": batch0["label"], **extra0}, mesh)
+    _, key0 = jax.random.split(jax.random.PRNGKey(1))
+    _, metrics0 = probe_step(
+        state, None, put0["imgs"], put0["label"], {k: put0[k] for k in extra0}, key0
+    )
+    step0_loss = float(metrics0["loss"])
+
     state, metrics = train_epochs(
         step, state, None, loader, num_epochs=args.epochs,
         rng_key=jax.random.PRNGKey(1), mesh=mesh, log_every_n_steps=100,
@@ -126,6 +147,7 @@ def main():
         "pre_labels": np.asarray(pre["labels"]).tolist(),
         "process_index": int(jax.process_index()),
         "process_count": int(jax.process_count()),
+        "step0_loss": step0_loss,
         "final_loss": float(metrics.get("loss", float("nan"))),
         "params_sum": params_sum,
         "pred_n": int(pred["cls_score"].shape[0]),

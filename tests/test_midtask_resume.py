@@ -246,3 +246,64 @@ def test_trainer_cbf_preemption_resume_bit_identical(tmp_path_factory, monkeypat
     vb, _ = load_checkpoint(wd_b / "ckpt" / "ckpt_task_1.msgpack")
     for a, b in zip(jax.tree.leaves(va), jax.tree.leaves(vb)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_snapshot_header_peek_and_legacy(tmp_path):
+    """Current snapshots carry a length-prefixed meta header so
+    peek_train_snapshot_meta never deserializes the (potentially huge)
+    weight payload (ADVICE round-2); legacy headerless snapshots still
+    peek and load via the full-parse fallback."""
+    from flax import serialization
+
+    from bdvcil_tpu.runtime.checkpoint import _SNAP_MAGIC, _to_host
+
+    step_fn, state, tx, variables = _setup()
+    path = tmp_path / "snap.msgpack"
+    meta = dict(task=1, phase="inc_step", epoch=0, num_classes=5, run_token="abc123")
+    save_train_snapshot(path, state, jax.random.PRNGKey(3), meta=meta)
+
+    raw = path.read_bytes()
+    assert raw.startswith(_SNAP_MAGIC)
+    # peek must succeed from the header alone: truncate the file to just
+    # past the header and it still returns the meta
+    import json as _json
+
+    n = int.from_bytes(raw[len(_SNAP_MAGIC):len(_SNAP_MAGIC) + 4], "little")
+    head_only = tmp_path / "head.msgpack"
+    head_only.write_bytes(raw[: len(_SNAP_MAGIC) + 4 + n])
+    assert peek_train_snapshot_meta(head_only) == meta
+    assert peek_train_snapshot_meta(path) == meta
+
+    # legacy format: bare msgpack with meta inside (pre-header snapshots)
+    legacy = tmp_path / "legacy.msgpack"
+    payload = {
+        "meta": _json.dumps(meta),
+        "step": np.asarray(state.step),
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
+        "opt_state": _to_host(serialization.to_state_dict(state.opt_state)),
+        "rng_key": np.asarray(jax.random.PRNGKey(3)),
+    }
+    legacy.write_bytes(serialization.msgpack_serialize(payload))
+    assert peek_train_snapshot_meta(legacy) == meta
+    restored, key, meta2 = load_train_snapshot(legacy, TrainState.create(variables, tx))
+    assert meta2 == meta
+    np.testing.assert_array_equal(np.asarray(key), np.asarray(jax.random.PRNGKey(3)))
+    jax.tree.map(np.testing.assert_array_equal, jax.tree.leaves(state.params),
+                 jax.tree.leaves(restored.params))
+
+
+def test_snapshot_lineage_token_rejected(tmp_path):
+    """A snapshot left by a DIFFERENT experiment (seed/split/method) in the
+    same work_dir must be rejected by the trainer's lineage check; snapshots
+    without a token (pre-run_token) stay restorable (ADVICE round-2)."""
+    from bdvcil_tpu.cil.trainer import CILTrainer
+
+    ok = CILTrainer._snapshot_lineage_ok
+
+    class T1:
+        _run_token = "aaaa"
+
+    assert ok(T1(), {"run_token": "aaaa"})
+    assert not ok(T1(), {"run_token": "bbbb"})
+    assert ok(T1(), {})  # legacy snapshot: no token recorded

@@ -96,9 +96,13 @@ def test_two_process_matches_single_process(tmp_path):
         )
         np.testing.assert_allclose(res["pre_scores_sum"], single["pre_scores_sum"], rtol=1e-5)
         np.testing.assert_allclose(res["pre_repr_sum"], single["pre_repr_sum"], rtol=1e-5)
-        # training equivalence: the all-reduce order differs across process
-        # layouts, so allow fp-noise amplification over the epoch (step-0
-        # losses agree to ~1e-7 relative; see VERDICT item #2 work log)
+        # training equivalence, asserted at two timescales: the FIRST step's
+        # loss must agree near-bitwise (a real reduction/sharding bug shows
+        # up immediately; fp drift hasn't compounded yet) ...
+        np.testing.assert_allclose(res["step0_loss"], single["step0_loss"], rtol=1e-6)
+        # ... while after an epoch the all-reduce order difference across
+        # process layouts amplifies fp noise, so the final loss gets a
+        # drift-tolerant bound
         np.testing.assert_allclose(res["final_loss"], single["final_loss"], rtol=2e-2)
         np.testing.assert_allclose(res["params_sum"], single["params_sum"], rtol=1e-3)
         assert res["pred_n"] == single["pred_n"]

@@ -273,10 +273,30 @@ def test_predict_discover_ignores_stray_images(tree, tmp_path):
 
     root, frames_root, _, _ = tree
     one = sorted(d for d in frames_root.iterdir() if d.is_dir())[0]
-    n_before = {name: n for name, d, n in discover_videos(frames_root, "img_{:05}.jpg")}
+    n_before = {name: n for name, d, n, start in discover_videos(frames_root, "img_{:05}.jpg")}
     (one / "preview.jpg").write_bytes(b"\xff\xd8\xff\xd9")  # stray file
     try:
-        after = {name: n for name, d, n in discover_videos(frames_root, "img_{:05}.jpg")}
+        after = {name: n for name, d, n, start in discover_videos(frames_root, "img_{:05}.jpg")}
         assert after == n_before
     finally:
         (one / "preview.jpg").unlink()
+
+
+def test_predict_discover_zero_based_layout(tmp_path):
+    """0-based rawframe layouts (img_00000.jpg first) must count every frame
+    and report start_index=0 so frame 0 is sampled (ADVICE round-2:
+    hardcoding start 1 undercounted by one and never read frame 0)."""
+    import numpy as np
+    import cv2
+
+    from cil_tools.predict import discover_videos
+
+    root = tmp_path / "frames"
+    for name, start, n in (("v0", 0, 6), ("v1", 1, 4)):  # mixed layouts
+        d = root / name
+        d.mkdir(parents=True)
+        for i in range(start, start + n):
+            cv2.imwrite(str(d / f"img_{i:05}.jpg"),
+                        np.full((8, 8, 3), i, np.uint8))
+    found = {name: (n, s) for name, d, n, s in discover_videos(root, "img_{:05}.jpg")}
+    assert found == {"v0": (6, 0), "v1": (4, 1)}

@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Wall-clock decomposition of the end-to-end training loop.
+
+Round-2 measured: device step ~70 ms + device RandAugment ~90 ms, host
+decode sustains ~900+ frames/s (~150 ms/batch of demand), yet e2e measures
+21-32 clips/s (500-760 ms/batch). This tool attributes the missing time by
+timing each stage of bench.py's bench_train_e2e loop separately:
+
+  wait     — main thread blocking on the loader (producer not ready)
+  put      — host->device transfer of the uint8 batch (explicitly timed;
+             in the plain loop this cost hides inside dispatch)
+  dispatch — step() call until it returns (async dispatch enqueue)
+  device   — residual time blocking on the result (actual device work that
+             did not overlap with the next batch's wait+put)
+
+Modes (PROFILE_MODE): "baseline" = the exact bench_train_e2e loop with a
+block every step (fully serialized; upper bound per-component truth);
+"pipelined" = the plain async loop as bench.py runs it, timing only wait +
+dispatch + final block (what production sees); "prefetch" = pipelined plus
+the device-prefetch iterator (background thread device_puts ahead).
+
+Usage: python tools/profile_e2e.py [steps]
+Env:   BENCH_BATCH, BENCH_VIDEOS, PROFILE_MODE=baseline|pipelined|prefetch|all
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build(batch, num_videos):
+    """Same corpus + model + step as bench.bench_train_e2e."""
+    import pathlib
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bdvcil_tpu.data.datasets import bg_extraction_tmf
+    from bdvcil_tpu.data.device_pipeline import FastBGMixLoader, make_fast_input_fn
+    from bdvcil_tpu.models import build_model, init_model_params
+    from bdvcil_tpu.optim import build_optimizer
+    from bdvcil_tpu.runtime import TrainState, make_train_step
+
+    num_segments = 8
+    frames_per_video = 16
+    root = pathlib.Path("/tmp/bdvc_bench_data")
+    marker = root / f".ok_{num_videos}"
+    if not marker.exists():
+        rng = np.random.default_rng(0)
+        bg_dir = root / "bg"
+        bg_dir.mkdir(parents=True, exist_ok=True)
+        for v in range(num_videos):
+            vdir = root / "rawframes" / f"v{v:04d}"
+            vdir.mkdir(parents=True, exist_ok=True)
+            base = rng.integers(0, 200, 3)
+            for t in range(1, frames_per_video + 1):
+                img = np.clip(base + rng.integers(0, 55, (240, 320, 3)), 0, 255).astype(np.uint8)
+                cv2.imwrite(str(vdir / f"img_{t:05d}.jpg"), img)
+            bg_extraction_tmf(vdir, bg_dir / f"v{v:04d}.jpg")
+        marker.touch()
+    video_infos = [
+        dict(frame_dir=str(root / "rawframes" / f"v{v:04d}"), total_frames=frames_per_video,
+             label=v % 51)
+        for v in range(num_videos)
+    ]
+    bg_files = sorted(str(p) for p in (root / "bg").glob("*.jpg"))
+
+    model_cfg = dict(
+        type="CILRecognizer2D",
+        backbone=dict(type="ResNetTSM", depth=50, num_segments=num_segments, shift_div=8),
+        cls_head=dict(
+            type="IncrementalTSMHead",
+            num_classes=51,
+            in_channels=2048,
+            inc_head_config=dict(type="LocalSimilarityClassifier", out_features=51, nb_proxies=1),
+            num_segments=num_segments,
+            loss_cls=dict(type="LSCLoss"),
+            dropout_ratio=0.5,
+        ),
+        test_cfg=dict(average_clips="prob"),
+    )
+    spec = build_model(model_cfg, dtype=jnp.bfloat16)
+    variables = init_model_params(spec, jax.random.PRNGKey(0), (1, num_segments, 224, 224, 3))
+    tx = build_optimizer(
+        variables["params"],
+        dict(type="SGD", paramwise_cfg=dict(fc_lr_scale_factor=5.0), lr=0.01,
+             momentum=0.9, weight_decay=1e-4),
+        steps_per_epoch=100,
+    )
+    input_fn = make_fast_input_fn(alpha=0.5, with_randaug=True, dtype=jnp.bfloat16)
+    step = make_train_step(spec, tx, num_classes=51, method="base", input_fn=input_fn)
+    state = TrainState.create(variables, tx)
+
+    def make_loader(**kw):
+        args = dict(randaug_prob=0.75, seed=0, drop_last=True, prefetch=2)
+        args.update(kw)
+        return FastBGMixLoader(video_infos, bg_files, batch_size=batch,
+                               num_segments=num_segments, **args)
+
+    return step, state, make_loader
+
+
+def run_mode(mode, step, state, make_loader, steps, batch):
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    stats = {"wait": 0.0, "put": 0.0, "dispatch": 0.0, "device": 0.0}
+    n = 0
+    loader = make_loader(num_workers=int(os.environ.get("PROFILE_WORKERS", "1")))
+
+    if mode == "prefetch":
+        from bdvcil_tpu.runtime.loops import prefetch_to_device
+
+        src = prefetch_to_device(iter(loader), size=2)
+    else:
+        src = iter(loader)
+
+    t_start = time.perf_counter()
+    it = iter(src)
+    while n < steps:
+        t0 = time.perf_counter()
+        try:
+            b = next(it)
+        except StopIteration:
+            loader.set_epoch(loader.epoch + 1)
+            it = iter(prefetch_to_device(iter(loader), size=2)) if mode == "prefetch" else iter(loader)
+            continue
+        t1 = time.perf_counter()
+        stats["wait"] += t1 - t0
+
+        if mode == "baseline":
+            b = {k: jax.device_put(v) for k, v in b.items()}
+            jax.block_until_ready(list(b.values()))
+            t2 = time.perf_counter()
+            stats["put"] += t2 - t1
+        else:
+            t2 = t1
+
+        imgs = {k: v for k, v in b.items() if k != "label"}
+        key, sk = jax.random.split(key)
+        state, metrics = step(state, None, imgs, b["label"], {}, sk)
+        t3 = time.perf_counter()
+        stats["dispatch"] += t3 - t2
+
+        if mode == "baseline":
+            jax.block_until_ready(state.params)
+            stats["device"] += time.perf_counter() - t3
+        n += 1
+    jax.block_until_ready(state.params)
+    wall = time.perf_counter() - t_start
+    rate = n * batch / wall
+    out = {"mode": mode, "steps": n, "wall_s": round(wall, 2),
+           "clips_per_sec": round(rate, 2),
+           **{k: round(v / n * 1000, 1) for k, v in stats.items()}}
+    print(json.dumps(out))
+    return state
+
+
+def main():
+    import jax
+
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    num_videos = int(os.environ.get("BENCH_VIDEOS", "64"))
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    mode = os.environ.get("PROFILE_MODE", "all")
+
+    step, state, make_loader = build(batch, num_videos)
+
+    # warm/compile with one epoch-equivalent
+    key = jax.random.PRNGKey(1)
+    loader = make_loader()
+    for i, b in enumerate(loader):
+        imgs = {k: v for k, v in b.items() if k != "label"}
+        key, sk = jax.random.split(key)
+        state, _ = step(state, None, imgs, b["label"], {}, sk)
+        if i >= 1:
+            break
+    jax.block_until_ready(state.params)
+    print(json.dumps({"note": "compiled", "platform": jax.devices()[0].platform}))
+
+    modes = ["baseline", "pipelined", "prefetch"] if mode == "all" else [mode]
+    for m in modes:
+        state = run_mode(m, step, state, make_loader, steps, batch)
+
+
+if __name__ == "__main__":
+    main()
