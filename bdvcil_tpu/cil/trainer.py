@@ -132,6 +132,11 @@ class CILTrainer:
         )
         self.training_phase: Optional[str] = None  # ['inc_step', 'cbf_step']
         self.current_best: Optional[float] = 0.0 if config.get("save_best", False) else None
+        # per-task accuracy rows recorded by _finish_task (the reference keeps
+        # these only in its printed tables, cil.py:800-860; exposing them as
+        # data enables protocol-level comparisons — tests/test_protocol_parity)
+        self.cnn_matrix: List[List[float]] = []
+        self.nme_matrix: List[List[float]] = []
 
     # -- init helpers ------------------------------------------------------
     def _next_key(self) -> jax.Array:
@@ -734,11 +739,13 @@ class CILTrainer:
         exemplar_class_means = self._get_exemplar_class_means(
             self._current_task, override_class_mean_ckpt=True
         )
-        self._testing(
+        cnn, nme = self._testing(
             val_test="val",
             exemplar_class_means=exemplar_class_means,
             task_indices=[0, self._current_task],
         )
+        self.cnn_matrix.append(list(cnn.values))
+        self.nme_matrix.append(list(nme.values))
 
         # advance to the next task
         self._current_task += 1

@@ -52,3 +52,65 @@ def make_rawframe_tree(
     train_ann.write_text("\n".join(train_lines) + "\n")
     val_ann.write_text("\n".join(val_lines) + "\n")
     return frames_root, train_ann, val_ann
+
+
+def make_learnable_rawframe_tree(
+    root: pathlib.Path,
+    num_classes: int = 6,
+    train_videos_per_class: int = 6,
+    val_videos_per_class: int = 3,
+    num_frames: int = 8,
+    size=(64, 80),  # (H, W)
+    seed: int = 0,
+    video_jitter: int = 28,
+    noise: int = 40,
+    filename_tmpl: str = "img_{:05}.jpg",
+):
+    """Rawframe tree whose CLASS carries the signal (unlike
+    ``make_rawframe_tree``, where each video gets an independent random color
+    and val accuracy can only measure memorization).
+
+    Each class owns a base color + a coarse spatial pattern; every video adds
+    a color jitter and per-frame noise. ``video_jitter``/``noise`` tune the
+    difficulty so val accuracy lands in a discriminative band (0.5-0.95) —
+    what the protocol-parity and BN-semantics comparisons need.
+
+    Returns (frames_root, train_ann, val_ann).
+    """
+    rng = np.random.default_rng(seed)
+    root = pathlib.Path(root)
+    frames_root = root / "rawframes"
+    frames_root.mkdir(parents=True, exist_ok=True)
+    h, w = size
+
+    # well-separated class colors + a class-keyed horizontal/vertical gradient
+    palette = rng.permutation(
+        np.stack(np.meshgrid([40, 215], [40, 215], [40, 215]), -1).reshape(-1, 3)
+    )[:num_classes]
+    yy, xx = np.mgrid[0:h, 0:w]
+    grads = [yy / h, xx / w, 1 - yy / h, 1 - xx / w]
+
+    train_lines, val_lines = [], []
+    for cls in range(num_classes):
+        base = palette[cls].astype(np.int64)
+        grad = grads[cls % len(grads)][..., None] * 60 - 30
+        for vid in range(train_videos_per_class + val_videos_per_class):
+            name = f"video_c{cls}_v{vid}"
+            vdir = frames_root / name
+            vdir.mkdir(parents=True, exist_ok=True)
+            jit = rng.integers(-video_jitter, video_jitter + 1, size=3)
+            for t in range(1, num_frames + 1):
+                img = np.clip(
+                    base[None, None] + jit[None, None] + grad
+                    + rng.integers(-noise, noise + 1, size=(h, w, 3)),
+                    0, 255,
+                ).astype(np.uint8)
+                cv2.imwrite(str(vdir / filename_tmpl.format(t)), img)
+            line = f"{name} {num_frames} {cls}"
+            (val_lines if vid >= train_videos_per_class else train_lines).append(line)
+
+    train_ann = root / "train_ann.txt"
+    val_ann = root / "val_ann.txt"
+    train_ann.write_text("\n".join(train_lines) + "\n")
+    val_ann.write_text("\n".join(val_lines) + "\n")
+    return frames_root, train_ann, val_ann
