@@ -420,22 +420,28 @@ class CILTrainer:
             start += n
         return meter.avg
 
-    def _try_fast_loader(self, dataset=None, pad_to_batch: bool = False):
+    def _try_fast_loader(self, dataset=None):
         """Fast uint8 input path when configured and applicable: native C++
         decode + device-fused RandAugment/normalize/bgmix
         (data/device_pipeline.py). Falls back to the host pipeline loader.
 
         ``dataset`` defaults to the main train dataset; the CBF phase passes
-        its class-balanced exemplar dataset (pad_to_batch keeps the tiny
-        exemplar sets whole, pad rows carry sample_weight=0)."""
+        its class-balanced exemplar dataset. Both phases wrap-pad the tail
+        batch (pad rows carry sample_weight=0), matching the reference's
+        drop_last=False torch loader."""
         if not self.config.get("use_fast_input_pipeline", False):
             return None, None
         from ..data import native
-        from ..data.datasets import BackgroundMixDataset
+        from ..data.datasets import ActorCutMixDataset, BackgroundMixDataset
         from ..data.device_pipeline import FastBGMixLoader, make_fast_input_fn
 
         ds = self.data_module.train_dataset if dataset is None else dataset
-        if not native.available() or not isinstance(ds, BackgroundMixDataset) or len(ds) == 0:
+        if not native.available() or len(ds) == 0:
+            logger.info("fast input pipeline unavailable; using host pipeline")
+            return None, None
+        if isinstance(ds, ActorCutMixDataset):
+            return self._fast_acm_loader(ds)
+        if not isinstance(ds, BackgroundMixDataset):
             logger.info("fast input pipeline unavailable; using host pipeline")
             return None, None
 
@@ -471,8 +477,12 @@ class CILTrainer:
             with_randaug_mutex=bool(getattr(ds, "with_randAug", True)),
             bgmix_prob=float(getattr(ds, "prob", 0.25)),
             seed=self.seed,
-            drop_last=not pad_to_batch,
-            pad_to_batch=pad_to_batch,
+            # the reference's torch DataLoader keeps the variable last batch
+            # (drop_last=False default, cil.py:204-210) — every sample trains.
+            # The static-shape equivalent is a wrap-padded tail with
+            # sample_weight=0 rows (runtime/steps.py padded-tail masking)
+            drop_last=False,
+            pad_to_batch=True,
             # production tuning on many-core TPU hosts (PERF_NOTES "Loader
             # producer pool"); default 1 suits small/quota-limited hosts
             num_workers=int(self.config.get("fast_input_workers", 1)),
@@ -483,6 +493,28 @@ class CILTrainer:
             dtype=self.spec.dtype,
         )
         return loader, input_fn
+
+    def _fast_acm_loader(self, ds):
+        """Fast input path for the ActorCutMix family: native decode of the
+        action + scene clips, boxes carried on host, mask/cutout/composite
+        fused on device (data/device_pipeline.FastACMLoader +
+        make_fast_acm_input_fn; reference actor_cut_mix_loader.py:117-152).
+        The reference hardcodes the ACM geometry (256 short side, 224 crops,
+        MSC scales, flip 0.5, det thres 0.4) inside the dataset — mirrored
+        here."""
+        from ..data.device_pipeline import FastACMLoader, make_fast_acm_input_fn
+
+        loader = FastACMLoader(
+            ds.video_infos,
+            batch_size=self.config.videos_per_gpu * self.data_module.world_size,
+            num_segments=self.spec.num_segments,
+            acm_prob=float(getattr(ds, "acm_prob", 1.0)),
+            seed=self.seed,
+            drop_last=False,  # see the FastBGMixLoader note above
+            pad_to_batch=True,
+            num_workers=int(self.config.get("fast_input_workers", 1)),
+        )
+        return loader, make_fast_acm_input_fn(dtype=self.spec.dtype)
 
     def train_task(self) -> None:
         self.training_phase = "inc_step"
@@ -499,7 +531,7 @@ class CILTrainer:
             not self.config.get("cbf_train_backbone", False),
         )
         cbf_dataset = self.data_module.build_cbf_dataset()
-        loader, input_fn = self._try_fast_loader(cbf_dataset, pad_to_batch=True)
+        loader, input_fn = self._try_fast_loader(cbf_dataset)
         if loader is None:
             from ..data import DataLoader
 

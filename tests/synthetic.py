@@ -4,6 +4,7 @@ tiny generated JPEG dirs + annotation files)."""
 from __future__ import annotations
 
 import pathlib
+from typing import Optional
 
 import cv2
 import numpy as np
@@ -64,6 +65,9 @@ def make_learnable_rawframe_tree(
     seed: int = 0,
     video_jitter: int = 28,
     noise: int = 40,
+    palette_lo: int = 40,
+    palette_hi: int = 215,
+    val_jitter: Optional[int] = None,
     filename_tmpl: str = "img_{:05}.jpg",
 ):
     """Rawframe tree whose CLASS carries the signal (unlike
@@ -84,8 +88,9 @@ def make_learnable_rawframe_tree(
     h, w = size
 
     # well-separated class colors + a class-keyed horizontal/vertical gradient
+    corners = [palette_lo, palette_hi]
     palette = rng.permutation(
-        np.stack(np.meshgrid([40, 215], [40, 215], [40, 215]), -1).reshape(-1, 3)
+        np.stack(np.meshgrid(corners, corners, corners), -1).reshape(-1, 3)
     )[:num_classes]
     yy, xx = np.mgrid[0:h, 0:w]
     grads = [yy / h, xx / w, 1 - yy / h, 1 - xx / w]
@@ -98,7 +103,12 @@ def make_learnable_rawframe_tree(
             name = f"video_c{cls}_v{vid}"
             vdir = frames_root / name
             vdir.mkdir(parents=True, exist_ok=True)
-            jit = rng.integers(-video_jitter, video_jitter + 1, size=3)
+            # val videos can carry a larger color jitter (val_jitter) than the
+            # train split: the resulting irreducible val error pins accuracy
+            # in a discriminative band even when training fully converges
+            is_val = vid >= train_videos_per_class
+            jit_mag = video_jitter if (not is_val or val_jitter is None) else val_jitter
+            jit = rng.integers(-jit_mag, jit_mag + 1, size=3)
             for t in range(1, num_frames + 1):
                 img = np.clip(
                     base[None, None] + jit[None, None] + grad

@@ -307,25 +307,9 @@ def test_bg_pool_policies_e2e(cil_env, tmp_path_factory):
     assert len(trainer2.data_module.all_bg_files) >= 8
 
 
-def test_cil_actor_cut_mix_icarl_e2e(tmp_path_factory):
-    """The reference's ActorCutMix family (configs/ucf101/
-    seed_*_ActorCutMix_plus_randAug.py): methods='icarl', SimpleLinear head,
-    train ds = ActorCutMixDataset + det_file, eval ds = plain
-    RawframeDataset. Exercises foreground_ratio/background_label collation
-    through the loader into acm_smooth_targets (icarl.py:103-111)."""
-    root = tmp_path_factory.mktemp("acm_cil")
-    frames_root, train_ann, val_ann = make_rawframe_tree(
-        root, num_classes=3, videos_per_class=2, num_frames=10, size=(240, 320)
-    )
-    dets = {}
-    for vdir in frames_root.iterdir():
-        per_frame = {}
-        for t in range(0, 12):
-            per_frame[t] = np.array([[40.0, 30.0, 200.0, 170.0, 0.9]], dtype=np.float32)
-        dets[vdir.name] = per_frame
-    det_file = root / "dets.npy"
-    np.save(det_file, dets, allow_pickle=True)
-
+def make_acm_cil_config(frames_root, train_ann, val_ann, det_file, work_dir, **overrides):
+    """Config dict for the ActorCutMix/iCaRL family (shared by the host-path
+    e2e test below and the fast-path test in tests/test_fast_acm.py)."""
     t8 = 8  # the ACM pipelines are hardcoded to 8 segments / 224 crops
     val_pipeline = [
         dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=t8, test_mode=True),
@@ -352,8 +336,7 @@ def test_cil_actor_cut_mix_icarl_e2e(tmp_path_factory):
         pipeline=val_pipeline,
         test_mode=True,
     )
-    work_dir = tmp_path_factory.mktemp("work_acm")
-    cfg = Config.fromdict(dict(
+    cfg = dict(
         det_file=str(det_file),  # top-level like the reference ACM configs
         work_dir=str(work_dir),
         videos_per_gpu=1,
@@ -412,7 +395,34 @@ def test_cil_actor_cut_mix_icarl_e2e(tmp_path_factory):
             exemplar=acm_ds,
         ),
         seed=0,
-    ))
+    )
+    cfg.update(overrides)
+    return cfg
+
+
+def test_cil_actor_cut_mix_icarl_e2e(tmp_path_factory):
+    """The reference's ActorCutMix family (configs/ucf101/
+    seed_*_ActorCutMix_plus_randAug.py): methods='icarl', SimpleLinear head,
+    train ds = ActorCutMixDataset + det_file, eval ds = plain
+    RawframeDataset. Exercises foreground_ratio/background_label collation
+    through the loader into acm_smooth_targets (icarl.py:103-111)."""
+    root = tmp_path_factory.mktemp("acm_cil")
+    frames_root, train_ann, val_ann = make_rawframe_tree(
+        root, num_classes=3, videos_per_class=2, num_frames=10, size=(240, 320)
+    )
+    dets = {}
+    for vdir in frames_root.iterdir():
+        per_frame = {}
+        for t in range(0, 12):
+            per_frame[t] = np.array([[40.0, 30.0, 200.0, 170.0, 0.9]], dtype=np.float32)
+        dets[vdir.name] = per_frame
+    det_file = root / "dets.npy"
+    np.save(det_file, dets, allow_pickle=True)
+
+    work_dir = tmp_path_factory.mktemp("work_acm")
+    cfg = Config.fromdict(
+        make_acm_cil_config(frames_root, train_ann, val_ann, det_file, work_dir)
+    )
     trainer = CILTrainer(cfg)
     assert trainer.spec.average_clips == "score"
     trainer.train()

@@ -89,8 +89,8 @@ def make_parity_config(root, frames_root, train_ann, val_ann, work_dir, **overri
         budget_size=3,
         storing_methods="videos",
         budget_type="class",
-        num_epochs_per_task=5,
-        cbf_num_epochs_per_task=2,
+        num_epochs_per_task=14,
+        cbf_num_epochs_per_task=10,
         save_best=False,
         log_every_n_steps=50,
         keep_all_backgrounds=False,
@@ -175,9 +175,18 @@ def parity_tree(tmp_path_factory):
     from tests.synthetic import make_learnable_rawframe_tree
 
     root = tmp_path_factory.mktemp("parity_data")
+    # difficulty tuned so BOTH metrics land mid-band at every stage (the
+    # comparison must be discriminative, not at a 0/100 ceiling): training is
+    # in the robust regime (14 epochs clears the from-scratch convergence
+    # cliff) while val videos carry a larger color jitter than train
+    # (val_jitter) so irreducible val error pins accuracies at ~60-85.
+    # Measured (torch side): CNN [66.7], [66.7, 75.0], [66.7, 75.0, 66.7];
+    # NME [66.7], [66.7, 75.0], [83.3, 75.0, 66.7].
     frames_root, train_ann, val_ann = make_learnable_rawframe_tree(
         root, num_classes=NUM_CLASSES, train_videos_per_class=6,
-        val_videos_per_class=3, num_frames=8, size=(64, 80), seed=3,
+        val_videos_per_class=6, num_frames=8, size=(64, 80), seed=3,
+        noise=60, video_jitter=42, palette_lo=85, palette_hi=170,
+        val_jitter=80,
     )
     # backgrounds for the BackgroundMixDataset pipeline
     import cv2
@@ -224,12 +233,17 @@ def test_full_protocol_accuracy_parity(parity_tree, tmp_path_factory):
     print("per-stage avg CNN torch/jax:", cnn_t, cnn_j)
     print("per-stage avg NME torch/jax:", nme_t, nme_j)
 
-    # the comparison must not be vacuous: task 0 must actually be learned
-    assert cnn_t[0] >= 55.0 and cnn_j[0] >= 55.0, (cnn_t, cnn_j)
+    # the comparison must not be vacuous: every stage average must sit in a
+    # discriminative band on BOTH sides (neither floor nor ceiling), so a
+    # real protocol bug (broken KD, herding, replay, CBF, NME means) cannot
+    # hide behind an always-0 or always-100 metric
+    for series in (cnn_t, cnn_j, nme_t, nme_j):
+        for v in series:
+            assert 30.0 <= v <= 95.0, (cnn_t, cnn_j, nme_t, nme_j)
 
     # protocol parity: per-stage average accuracies track across frameworks.
-    # val set = 9 videos/stage grid (each video ~11 pts at stage 0) — the
-    # bound allows ~1 video of divergence per stage plus fp/exemplar noise.
+    # 12-24 val videos/stage (~4-8 pts per video) — the bound allows ~2-3
+    # videos of cross-framework divergence per stage plus fp/exemplar noise.
     for a, b in zip(cnn_t, cnn_j):
         assert abs(a - b) <= 20.0, (cnn_t, cnn_j)
     for a, b in zip(nme_t, nme_j):

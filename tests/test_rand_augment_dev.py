@@ -153,3 +153,33 @@ def test_rand_augment_batch_matches_per_clip_switch():
         for i in range(12)
     ])
     np.testing.assert_array_equal(batch, per_clip)
+
+
+def test_rand_augment_batch_equalize_bucket_overflow():
+    """The equalize sub-batch bucket (_apply_selected_rows) must stay
+    bit-identical to the per-clip oracle when MORE clips select equalize
+    than the bucket capacity — exercising the lax.cond full-batch fallback.
+    Keys are mined so that >capacity clips draw equalize in round 0."""
+    b = 12
+    cap = dev._bucket_capacity(b)
+    keys = []
+    k = jax.random.PRNGKey(0)
+    while len(keys) <= cap:  # cap+1 equalize-selecting clips guarantee overflow
+        k, cand = jax.random.split(k)
+        k_ops, _, _, _ = jax.random.split(cand, 4)
+        ops = jax.random.randint(k_ops, (2,), 0, dev.NUM_OPS)
+        if int(ops[0]) == dev._EQUALIZE_ID:
+            keys.append(cand)
+    while len(keys) < b:  # fill the rest with arbitrary keys
+        k, cand = jax.random.split(k)
+        keys.append(cand)
+    keys = jnp.stack(keys)
+
+    rng = np.random.default_rng(3)
+    clips = rng.integers(0, 256, (b, 2, 32, 36, 3), dtype=np.uint8)
+    batch = np.asarray(dev.rand_augment_batch(keys, jnp.asarray(clips), n=2, m=10))
+    per_clip = np.stack([
+        np.asarray(dev.rand_augment_clip(keys[i], jnp.asarray(clips[i]), n=2, m=10))
+        for i in range(b)
+    ])
+    np.testing.assert_array_equal(batch, per_clip)

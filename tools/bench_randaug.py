@@ -49,6 +49,10 @@ def main():
     full = functools.partial(rad.rand_augment_batch, n=2, m=10)
     results["full_n2"] = timed(full, keys, imgs, steps)
 
+    if os.environ.get("RA_FULL_ONLY"):
+        print(json.dumps(results, indent=1))
+        return
+
     # ablations: skip one op family at a time by monkey-patching its batch
     # contribution (identity) — the delta attributes that family's cost
     def ablate(skip_ids):

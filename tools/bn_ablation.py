@@ -10,9 +10,13 @@ moves training on a small synthetic task, so the accuracy-parity north star
 has a controlled number attached instead of an unquantified variable.
 
 Protocol: R18-TSM (T=2, 32x32), 8 classes x 24 train clips, class signal =
-per-class color mean + noise, 20 epochs of the real jitted CIL train step
-(labeled SGD, CE loss), identical data order and init across modes. Reports
-final train CE loss and train/eval accuracy per BN mode. Run on CPU:
+per-class color mean + PER-CLIP jitter + noise, with val clips drawn at a
+LARGER jitter so accuracy has an irreducible error floor — the round-2
+version saturated every mode at acc 1.0, which discriminates nothing
+(round-2 VERDICT Weak #3); this version pins val accuracy in a band where
+the modes can actually diverge, across >=3 seeds per mode. 12 epochs of
+the real jitted CIL train step (labeled SGD, CE loss), identical data
+order and init across modes. Run on CPU:
 
     JAX_PLATFORMS=cpu python tools/bn_ablation.py
 
@@ -30,13 +34,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def make_data(rng, means, per_class=24, t=2, hw=32):
-    """Class-separable clips: shared per-class channel means + heavy noise."""
+def make_data(rng, means, per_class=24, t=2, hw=32, jitter=0.0, noise=1.0):
+    """Class-separable clips: per-class channel means + per-CLIP jitter +
+    per-pixel noise. ``jitter`` moves whole clips toward neighboring classes
+    (larger on the val split -> irreducible error floor)."""
     xs, ys = [], []
     for c in range(len(means)):
-        clips = means[c][None, None, None, None, :] + rng.normal(
+        jit = rng.normal(size=(per_class, 1, 1, 1, 3)) * jitter
+        clips = means[c][None, None, None, None, :] + jit + rng.normal(
             size=(per_class, t, hw, hw, 3)
-        )
+        ) * noise
         xs.append(clips)
         ys.append(np.full((per_class,), c))
     x = np.concatenate(xs).astype(np.float32)
@@ -111,17 +118,33 @@ def run_mode(name, backbone_extra, x, y, x_val, y_val, epochs=20, batch=32, seed
 
 
 def main():
-    rng = np.random.default_rng(0)
-    means = rng.normal(size=(8, 3)) * 1.2
-    x, y = make_data(rng, means)
-    x_val, y_val = make_data(np.random.default_rng(1), means, per_class=8)
+    seeds = [int(s) for s in os.environ.get("BN_SEEDS", "0,1,2").split(",")]
+    epochs = int(os.environ.get("BN_EPOCHS", "16"))
     modes = [
         ("global_batch (SPMD default)", {}),
         ("per_device_8 (reference DDP semantics, bn_groups=8)", {"bn_groups": 8}),
         ("ghost_quarter (bn_stats_rows = rows/4)", {"bn_stats_rows": 16}),
     ]
-    results = [run_mode(name, extra, x, y, x_val, y_val) for name, extra in modes]
-    print(json.dumps({"ablation": "bn_semantics", "results": results}))
+    summary = {name: [] for name, _ in modes}
+    for seed in seeds:
+        rng = np.random.default_rng(seed)
+        means = rng.normal(size=(8, 3)) * 0.8
+        x, y = make_data(rng, means, jitter=0.5, noise=1.0)
+        x_val, y_val = make_data(
+            np.random.default_rng(seed + 100), means, per_class=8, jitter=0.9, noise=1.0
+        )
+        for name, extra in modes:
+            rec = run_mode(name, extra, x, y, x_val, y_val, epochs=epochs, seed=seed)
+            summary[name].append(rec["val_acc"])
+    agg = {
+        name: {
+            "val_accs": accs,
+            "mean": round(float(np.mean(accs)), 4),
+            "spread": round(float(np.max(accs) - np.min(accs)), 4),
+        }
+        for name, accs in summary.items()
+    }
+    print(json.dumps({"ablation": "bn_semantics", "seeds": seeds, "summary": agg}))
 
 
 if __name__ == "__main__":
