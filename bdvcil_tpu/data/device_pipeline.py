@@ -532,19 +532,24 @@ class FastBGMixLoader:
             bw, bh = self._dims[bg_paths[row]]
             bg_crops.append(plan_bg_crop(rng, bw, bh, self.bg_short_side, crop))
 
-        imgs = native.decode_resize2_crop_batch(
-            frame_paths, resize_dims, out_h=crop, out_w=crop, crops=crops,
-            num_threads=self.num_threads,
+        # one decode-pool call for frames AND backgrounds: the bg short-side
+        # resize is expressed through the same explicit-dims kernel
+        # (resized_dims matches the decoder's short-side computation), so the
+        # pixels are identical and the small bg batch overlaps the frame
+        # decode instead of paying a second pool ramp
+        bg_dims = np.array(
+            [resized_dims(*self._dims[p], self.bg_short_side) for p in bg_paths],
+            np.int32,
         )
-
-        bg = native.decode_resize_crop_batch(
-            bg_paths,
-            short_side=self.bg_short_side,
+        dec = native.decode_resize2_crop_batch(
+            frame_paths + bg_paths,
+            np.concatenate([resize_dims, bg_dims]),
             out_h=crop,
             out_w=crop,
-            crops=bg_crops,
+            crops=crops + bg_crops,
             num_threads=self.num_threads,
         )
+        imgs, bg = dec[: b * t], dec[b * t :]
 
         out = {
             "imgs_u8": imgs.reshape(b, t, crop, crop, 3),

@@ -157,6 +157,7 @@ def bench_train_e2e(print_json=True):
     loader = FastBGMixLoader(
         video_infos, bg_files, batch_size=batch, num_segments=num_segments,
         randaug_prob=0.75, seed=0, drop_last=True, prefetch=2,
+        num_workers=int(os.environ.get("BENCH_WORKERS", "1")),
     )
     key = jax.random.PRNGKey(0)
 

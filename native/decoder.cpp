@@ -172,6 +172,88 @@ void bilinear_resize(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw, i
   }
 }
 
+// Windowed variant: compute ONLY the [ox, ox+ow) x [oy, oy+oh) region of the
+// (dw, dh) resize of src — the same half-pixel-center sampling grid as
+// bilinear_resize, evaluated on the crop window, so the result is
+// bit-identical to resize-then-crop while doing out_w*out_h work instead of
+// dw*dh. This is the hot-loop saver for MultiScaleCrop training plans whose
+// anisotropic resize target is up to ~3x the pixels of the final 224^2 crop.
+void bilinear_resize_window(const uint8_t* src, int sw, int sh, int dw, int dh,
+                            int ox, int oy, int ow, int oh, uint8_t* dst) {
+  if (sw == dw && sh == dh) {  // identity resize: plain crop copy
+    for (int y = 0; y < oh; ++y) {
+      std::memcpy(dst + static_cast<size_t>(y) * ow * 3,
+                  src + (static_cast<size_t>(oy + y) * sw + ox) * 3,
+                  static_cast<size_t>(ow) * 3);
+    }
+    return;
+  }
+  const float x_ratio = static_cast<float>(sw) / dw;
+  const float y_ratio = static_cast<float>(sh) / dh;
+
+  std::vector<int> x0s(ow), x1s(ow);
+  std::vector<int> xws(ow);
+  for (int x = 0; x < ow; ++x) {
+    float sx = (ox + x + 0.5f) * x_ratio - 0.5f;
+    if (sx < 0) sx = 0;
+    int x0 = static_cast<int>(sx);
+    if (x0 > sw - 1) x0 = sw - 1;
+    int x1 = x0 + 1 < sw ? x0 + 1 : sw - 1;
+    x0s[x] = x0 * 3;
+    x1s[x] = x1 * 3;
+    xws[x] = static_cast<int>((sx - x0) * 256.0f + 0.5f);
+  }
+
+  std::vector<uint16_t> hrow0(static_cast<size_t>(ow) * 3), hrow1(static_cast<size_t>(ow) * 3);
+  int cached_y0 = -1, cached_y1 = -1;
+
+  auto hresize = [&](int sy, uint16_t* out) {
+    const uint8_t* row = src + static_cast<size_t>(sy) * sw * 3;
+    for (int x = 0; x < ow; ++x) {
+      const int a = x0s[x], b = x1s[x], w1 = xws[x], w0 = 256 - w1;
+      out[x * 3 + 0] = static_cast<uint16_t>(row[a + 0] * w0 + row[b + 0] * w1);
+      out[x * 3 + 1] = static_cast<uint16_t>(row[a + 1] * w0 + row[b + 1] * w1);
+      out[x * 3 + 2] = static_cast<uint16_t>(row[a + 2] * w0 + row[b + 2] * w1);
+    }
+  };
+
+  const int n = ow * 3;
+  for (int y = 0; y < oh; ++y) {
+    float sy = (oy + y + 0.5f) * y_ratio - 0.5f;
+    if (sy < 0) sy = 0;
+    int y0 = static_cast<int>(sy);
+    if (y0 > sh - 1) y0 = sh - 1;
+    int y1 = y0 + 1 < sh ? y0 + 1 : sh - 1;
+    const int wy1 = static_cast<int>((sy - y0) * 256.0f + 0.5f);
+    const int wy0 = 256 - wy1;
+
+    if (y0 == cached_y1) {
+      hrow0.swap(hrow1);
+      cached_y0 = y0;
+      cached_y1 = -1;
+    }
+    if (cached_y0 != y0) {
+      hresize(y0, hrow0.data());
+      cached_y0 = y0;
+    }
+    if (cached_y1 != y1) {
+      if (y1 == y0) {
+        std::memcpy(hrow1.data(), hrow0.data(), static_cast<size_t>(n) * sizeof(uint16_t));
+      } else {
+        hresize(y1, hrow1.data());
+      }
+      cached_y1 = y1;
+    }
+
+    uint8_t* drow = dst + static_cast<size_t>(y) * n;
+    const uint16_t* r0 = hrow0.data();
+    const uint16_t* r1 = hrow1.data();
+    for (int i = 0; i < n; ++i) {
+      drow[i] = static_cast<uint8_t>((r0[i] * wy0 + r1[i] * wy1 + 32768) >> 16);
+    }
+  }
+}
+
 struct Task {
   const char* path;
   int crop_x, crop_y;  // -1 -> center
@@ -284,9 +366,6 @@ int bdvc_decode_resize_crop_batch(const char** paths, int n, int short_side,
       const float factor = static_cast<float>(short_side) / (w < h ? w : h);
       const int rw = static_cast<int>(w * factor + 0.5f);
       const int rh = static_cast<int>(h * factor + 0.5f);
-      resized.resize(static_cast<size_t>(rw) * rh * 3);
-      bilinear_resize(decoded.data(), w, h, resized.data(), rw, rh);
-
       int cx = crop_x ? crop_x[i] : -1;
       int cy = crop_y ? crop_y[i] : -1;
       if (cx < 0) cx = (rw - out_w) / 2;
@@ -296,16 +375,17 @@ int bdvc_decode_resize_crop_batch(const char** paths, int n, int short_side,
       if (cx + out_w > rw) cx = rw - out_w;
       if (cy + out_h > rh) cy = rh - out_h;
       if (cx < 0 || cy < 0) {  // target larger than resized image: upscale
+        resized.resize(static_cast<size_t>(rw) * rh * 3);
+        bilinear_resize(decoded.data(), w, h, resized.data(), rw, rh);
         bilinear_resize(resized.data(), rw, rh, out + static_cast<size_t>(i) * frame_bytes,
                         out_w, out_h);
         continue;
       }
-      uint8_t* dst = out + static_cast<size_t>(i) * frame_bytes;
-      for (int y = 0; y < out_h; ++y) {
-        std::memcpy(dst + static_cast<size_t>(y) * out_w * 3,
-                    resized.data() + (static_cast<size_t>(cy + y) * rw + cx) * 3,
-                    static_cast<size_t>(out_w) * 3);
-      }
+      // resize evaluated only on the crop window — bit-identical to
+      // resize-then-crop (same sampling grid) at out_w*out_h work instead of
+      // rw*rh (MSC training plans upscale to ~3x the crop's pixels)
+      bilinear_resize_window(decoded.data(), w, h, rw, rh, cx, cy, out_w, out_h,
+                             out + static_cast<size_t>(i) * frame_bytes);
     }
   };
 
@@ -353,9 +433,6 @@ int bdvc_decode_resize2_crop_batch(const char** paths, int n,
         failed.compare_exchange_strong(expected, i + 1);
         break;
       }
-      resized.resize(static_cast<size_t>(rw) * rh * 3);
-      bilinear_resize(decoded.data(), w, h, resized.data(), rw, rh);
-
       int cx = crop_x ? crop_x[i] : -1;
       int cy = crop_y ? crop_y[i] : -1;
       if (cx < 0) cx = (rw - out_w) / 2;
@@ -365,16 +442,17 @@ int bdvc_decode_resize2_crop_batch(const char** paths, int n,
       if (cx + out_w > rw) cx = rw - out_w;
       if (cy + out_h > rh) cy = rh - out_h;
       if (cx < 0 || cy < 0) {  // target larger than resized image: upscale
+        resized.resize(static_cast<size_t>(rw) * rh * 3);
+        bilinear_resize(decoded.data(), w, h, resized.data(), rw, rh);
         bilinear_resize(resized.data(), rw, rh, out + static_cast<size_t>(i) * frame_bytes,
                         out_w, out_h);
         continue;
       }
-      uint8_t* dst = out + static_cast<size_t>(i) * frame_bytes;
-      for (int y = 0; y < out_h; ++y) {
-        std::memcpy(dst + static_cast<size_t>(y) * out_w * 3,
-                    resized.data() + (static_cast<size_t>(cy + y) * rw + cx) * 3,
-                    static_cast<size_t>(out_w) * 3);
-      }
+      // resize evaluated only on the crop window — bit-identical to
+      // resize-then-crop (same sampling grid) at out_w*out_h work instead of
+      // rw*rh (MSC training plans upscale to ~3x the crop's pixels)
+      bilinear_resize_window(decoded.data(), w, h, rw, rh, cx, cy, out_w, out_h,
+                             out + static_cast<size_t>(i) * frame_bytes);
     }
   };
 

@@ -119,7 +119,7 @@ def run_mode(name, backbone_extra, x, y, x_val, y_val, epochs=20, batch=32, seed
 
 def main():
     seeds = [int(s) for s in os.environ.get("BN_SEEDS", "0,1,2").split(",")]
-    epochs = int(os.environ.get("BN_EPOCHS", "16"))
+    epochs = int(os.environ.get("BN_EPOCHS", "24"))
     modes = [
         ("global_batch (SPMD default)", {}),
         ("per_device_8 (reference DDP semantics, bn_groups=8)", {"bn_groups": 8}),
@@ -131,7 +131,7 @@ def main():
         means = rng.normal(size=(8, 3)) * 0.8
         x, y = make_data(rng, means, jitter=0.5, noise=1.0)
         x_val, y_val = make_data(
-            np.random.default_rng(seed + 100), means, per_class=8, jitter=0.9, noise=1.0
+            np.random.default_rng(seed + 100), means, per_class=8, jitter=0.7, noise=1.0
         )
         for name, extra in modes:
             rec = run_mode(name, extra, x, y, x_val, y_val, epochs=epochs, seed=seed)
