@@ -26,11 +26,35 @@
 #include <csetjmp>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
 
+#if defined(__linux__)
+#include <sys/resource.h>
+#include <sys/syscall.h>
+#include <unistd.h>
+#endif
+
 namespace {
+
+// Decode worker threads run at low scheduler priority: decode has large
+// spare capacity (bulk throughput work), while the host->device transfer
+// path (jax device_put + the tunnel relay process) is latency-critical and
+// shares the same cgroup CPU quota — under full decode load the transfer
+// was measured ballooning 12 -> 426 ms/batch from scheduler starvation.
+// Niceness is per-thread on Linux CFS, so this deprioritizes ONLY the pool.
+// BDVC_DECODE_NICE overrides (0 disables).
+void set_decode_thread_priority() {
+#if defined(__linux__)
+  int nice_val = 19;
+  if (const char* env = std::getenv("BDVC_DECODE_NICE")) nice_val = std::atoi(env);
+  if (nice_val != 0) {
+    setpriority(PRIO_PROCESS, static_cast<id_t>(syscall(SYS_gettid)), nice_val);
+  }
+#endif
+}
 
 struct ErrorMgr {
   jpeg_error_mgr pub;
@@ -295,6 +319,7 @@ int bdvc_probe_dims_batch(const char** paths, int n, int* widths, int* heights,
   std::atomic<int> failed(0);
 
   auto worker = [&]() {
+    set_decode_thread_priority();
     while (true) {
       const int i = next.fetch_add(1);
       if (i >= n || failed.load() != 0) break;
@@ -350,6 +375,7 @@ int bdvc_decode_resize_crop_batch(const char** paths, int n, int short_side,
   const size_t frame_bytes = static_cast<size_t>(out_h) * out_w * 3;
 
   auto worker = [&]() {
+    set_decode_thread_priority();
     std::vector<uint8_t> decoded, resized;
     while (true) {
       const int i = next.fetch_add(1);
@@ -416,6 +442,7 @@ int bdvc_decode_resize2_crop_batch(const char** paths, int n,
   const size_t frame_bytes = static_cast<size_t>(out_h) * out_w * 3;
 
   auto worker = [&]() {
+    set_decode_thread_priority();
     std::vector<uint8_t> decoded, resized;
     while (true) {
       const int i = next.fetch_add(1);
@@ -480,6 +507,7 @@ int bdvc_decode_tencrop_batch(const char** paths, int n, int short_side,
   const size_t frame_bytes = static_cast<size_t>(out_size) * out_size * 3;
 
   auto worker = [&]() {
+    set_decode_thread_priority();
     std::vector<uint8_t> decoded, resized;
     while (true) {
       const int i = next.fetch_add(1);
