@@ -41,6 +41,24 @@ from . import native
 # MultiScaleCrop scales realized via the short-side trick (see class docstring)
 MSC_SCALES = (1.0, 0.875, 0.75, 0.66)
 
+# producer phase timing, enabled with BDVC_PROFILE_PRODUCER=1 (read by
+# tools/profile_e2e.py); accumulates across loader workers under a lock
+PRODUCER_STATS: Dict[str, float] = {}
+_PRODUCER_STATS_LOCK = threading.Lock()
+
+
+def _producer_profiling_enabled() -> bool:
+    import os
+
+    return os.environ.get("BDVC_PROFILE_PRODUCER", "") not in ("", "0")
+
+
+def _record_producer_phases(**seconds: float) -> None:
+    with _PRODUCER_STATS_LOCK:
+        for k, v in seconds.items():
+            PRODUCER_STATS[k] = PRODUCER_STATS.get(k, 0.0) + v
+        PRODUCER_STATS["batches"] = PRODUCER_STATS.get("batches", 0.0) + 1.0
+
 
 def resized_dims(w: int, h: int, short_side: int) -> tuple:
     """Post-resize dims for a short-side resize, matching mmcv rescale
@@ -453,6 +471,11 @@ class FastBGMixLoader:
 
     # -- batch assembly ----------------------------------------------------
     def _make_batch(self, indices: np.ndarray, weights: np.ndarray = None) -> Dict[str, np.ndarray]:
+        profile = _producer_profiling_enabled()
+        if profile:
+            import time
+
+            t_start = time.perf_counter()
         b = len(indices)
         t = self.num_segments
         crop = self.crop_size
@@ -510,7 +533,11 @@ class FastBGMixLoader:
                 apply_bgmix[row] = apply_bgmix[row] and bool(self.bg_files)
             bg_paths.append(bg_path)
             probe.append((bg_path, bg_path))
+        if profile:
+            t_pass1 = time.perf_counter()
         self._get_dims(probe)
+        if profile:
+            t_probe = time.perf_counter()
 
         # pass 2: whole-clip crop geometry on the true resized dims of each
         # image — the exact MultiScaleCrop crop-box distribution, realized as
@@ -541,6 +568,8 @@ class FastBGMixLoader:
             [resized_dims(*self._dims[p], self.bg_short_side) for p in bg_paths],
             np.int32,
         )
+        if profile:
+            t_plan = time.perf_counter()
         dec = native.decode_resize2_crop_batch(
             frame_paths + bg_paths,
             np.concatenate([resize_dims, bg_dims]),
@@ -550,6 +579,14 @@ class FastBGMixLoader:
             num_threads=self.num_threads,
         )
         imgs, bg = dec[: b * t], dec[b * t :]
+        if profile:
+            t_dec = time.perf_counter()
+            _record_producer_phases(
+                pass1=t_pass1 - t_start,
+                probe=t_probe - t_pass1,
+                pass2=t_plan - t_probe,
+                decode=t_dec - t_plan,
+            )
 
         out = {
             "imgs_u8": imgs.reshape(b, t, crop, crop, 3),

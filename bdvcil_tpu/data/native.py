@@ -100,6 +100,20 @@ def _load():
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.c_int,
             ]
+        if hasattr(lib, "bdvc_decode_yuv420_batch"):
+            lib.bdvc_decode_yuv420_batch.restype = ctypes.c_int
+            lib.bdvc_decode_yuv420_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int,
+            ]
         if hasattr(lib, "bdvc_probe_dims_batch"):
             lib.bdvc_probe_dims_batch.restype = ctypes.c_int
             lib.bdvc_probe_dims_batch.argtypes = [
@@ -245,6 +259,60 @@ def decode_resize2_crop_batch(
     if rc != 0:
         raise IOError(f"decode failed for {paths[rc - 1]}")
     return out
+
+
+def has_yuv420() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "bdvc_decode_yuv420_batch")
+
+
+def decode_yuv420_batch(
+    paths: Sequence[str],
+    resize_dims: np.ndarray,
+    out_size: int,
+    crops: Sequence[Tuple[int, int]],
+    num_threads: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """YUV420 wire-format variant of :func:`decode_resize2_crop_batch`:
+    returns (y, c) with y (N, out, out) uint8 luma crops and c
+    (N, out//2, out//2, 2) uint8 interleaved CbCr at the JPEG's stored 2x2
+    subsampling. Chroma upsample + YCbCr->RGB run on-device
+    (ops/augment.yuv420_to_rgb), halving host->device wire bytes — the
+    measured e2e bottleneck on tunneled TPU hosts. Geometry (per-image
+    anisotropic resize + crop) matches the RGB kernel; chroma planes use the
+    same grid at half resolution."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "bdvc_decode_yuv420_batch"):
+        raise RuntimeError("native decoder unavailable or too old")
+    if out_size % 2 != 0:
+        raise ValueError(f"out_size must be even, got {out_size}")
+    n = len(paths)
+    half = out_size // 2
+    out_y = np.empty((n, out_size, out_size), dtype=np.uint8)
+    out_c = np.empty((n, half, half, 2), dtype=np.uint8)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    dims = np.ascontiguousarray(resize_dims, dtype=np.int32).reshape(n, 2)
+    rw = np.ascontiguousarray(dims[:, 0])
+    rh = np.ascontiguousarray(dims[:, 1])
+    cx = np.ascontiguousarray([c[0] for c in crops], dtype=np.int32)
+    cy = np.ascontiguousarray([c[1] for c in crops], dtype=np.int32)
+    if num_threads <= 0:
+        num_threads = default_threads()
+    rc = lib.bdvc_decode_yuv420_batch(
+        c_paths,
+        n,
+        rw.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        rh.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        out_size,
+        cx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        cy.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        out_y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        num_threads,
+    )
+    if rc != 0:
+        raise IOError(f"decode failed for {paths[rc - 1]}")
+    return out_y, out_c
 
 
 def probe_dims_batch(paths: Sequence[str], num_threads: int = 0) -> np.ndarray:

@@ -34,6 +34,56 @@ def normalize_batch(
     return ((imgs.astype(jnp.float32) - mean_arr) * inv_std).astype(dtype)
 
 
+def fancy_upsample2x(plane: jax.Array) -> jax.Array:
+    """2x2 chroma upsample with libjpeg's "fancy" (triangular) filter
+    (jdsample.c h2v2_fancy_upsample): each output pixel is the 9/3/3/1-
+    weighted blend of the 4 nearest chroma samples, edges replicated,
+    rounding +8 on even / +7 on odd output columns like libjpeg.
+
+    plane: (..., H, W) any integer/uint dtype -> (..., 2H, 2W) uint8.
+    Pure reshapes + adds, fuses into the surrounding elementwise graph.
+    """
+    p = plane.astype(jnp.int32)
+    left = jnp.concatenate([p[..., :, :1], p[..., :, :-1]], axis=-1)
+    right = jnp.concatenate([p[..., :, 1:], p[..., :, -1:]], axis=-1)
+    he = 3 * p + left  # contributes to even output columns
+    ho = 3 * p + right  # odd output columns
+    up = jnp.concatenate([p[..., :1, :], p[..., :-1, :]], axis=-2)
+    dn = jnp.concatenate([p[..., 1:, :], p[..., -1:, :]], axis=-2)
+    ue = 3 * up + jnp.concatenate([up[..., :, :1], up[..., :, :-1]], axis=-1)
+    uo = 3 * up + jnp.concatenate([up[..., :, 1:], up[..., :, -1:]], axis=-1)
+    de = 3 * dn + jnp.concatenate([dn[..., :, :1], dn[..., :, :-1]], axis=-1)
+    do = 3 * dn + jnp.concatenate([dn[..., :, 1:], dn[..., :, -1:]], axis=-1)
+    # four output quadrants per chroma sample: (row even/odd) x (col even/odd)
+    ree = (3 * he + ue + 8) >> 4
+    reo = (3 * ho + uo + 7) >> 4
+    roe = (3 * he + de + 8) >> 4
+    roo = (3 * ho + do + 7) >> 4
+    rows_e = jnp.stack([ree, reo], axis=-1).reshape(*p.shape[:-1], p.shape[-1] * 2)
+    rows_o = jnp.stack([roe, roo], axis=-1).reshape(*p.shape[:-1], p.shape[-1] * 2)
+    out = jnp.stack([rows_e, rows_o], axis=-2).reshape(
+        *p.shape[:-2], p.shape[-2] * 2, p.shape[-1] * 2
+    )
+    return out.astype(jnp.uint8)
+
+
+def yuv420_to_rgb(y: jax.Array, c: jax.Array) -> jax.Array:
+    """Reconstruct RGB uint8 from the YUV420 wire format
+    (native.decode_yuv420_batch): y (..., H, W) uint8 luma, c
+    (..., H/2, W/2, 2) uint8 interleaved CbCr. Chroma is fancy-upsampled
+    (:func:`fancy_upsample2x`) then converted with libjpeg's fixed-point
+    YCbCr->RGB coefficients (jdcolor.c), so the device output matches what
+    the host RGB decode path would have produced up to the resize-order
+    difference of the two wire formats."""
+    cb = fancy_upsample2x(c[..., 0]).astype(jnp.int32) - 128
+    cr = fancy_upsample2x(c[..., 1]).astype(jnp.int32) - 128
+    yi = y.astype(jnp.int32)
+    r = yi + ((91881 * cr + 32768) >> 16)  # FIX(1.40200)
+    g = yi + ((-22554 * cb - 46802 * cr + 32768) >> 16)  # FIX(0.34414), FIX(0.71414)
+    b = yi + ((116130 * cb + 32768) >> 16)  # FIX(1.77200)
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0, 255).astype(jnp.uint8)
+
+
 def background_blend(imgs: jax.Array, bg: jax.Array, alpha, apply_mask=None) -> jax.Array:
     """Alpha-blend backgrounds over clips.
 

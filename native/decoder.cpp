@@ -117,14 +117,23 @@ bool decode_jpeg_file(const char* path, std::vector<uint8_t>& out, int& width,
   return true;
 }
 
-// Two-pass separable bilinear resize in 16.16 fixed point, RGB HWC uint8
-// (cv2.INTER_LINEAR-compatible half-pixel-center sampling). The horizontal
-// pass writes a uint16 intermediate (value * 256) so the vertical pass is a
-// single weighted add per output pixel — ~3x the single-pass float version
-// and auto-vectorizable.
-void bilinear_resize(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw, int dh) {
+// Two-pass separable bilinear resize in 16.16 fixed point, C-channel
+// interleaved uint8 (cv2.INTER_LINEAR-compatible half-pixel-center
+// sampling). The horizontal pass writes a uint16 intermediate (value * 256)
+// so the vertical pass is a single weighted add per output pixel — ~3x the
+// single-pass float version and auto-vectorizable. `dst_px_stride` is the
+// output pixel stride in bytes (defaults to C; >C lets planar sources write
+// into an interleaved destination, e.g. Cb/Cr planes into a (h,w,2) array).
+template <int C>
+void bilinear_resize_t(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw,
+                       int dh, int dst_px_stride) {
   if (sw == dw && sh == dh) {
-    std::memcpy(dst, src, static_cast<size_t>(sw) * sh * 3);
+    for (int y = 0; y < dh; ++y) {
+      const uint8_t* srow = src + static_cast<size_t>(y) * sw * C;
+      uint8_t* drow = dst + static_cast<size_t>(y) * dw * dst_px_stride;
+      for (int x = 0; x < dw; ++x)
+        for (int c = 0; c < C; ++c) drow[x * dst_px_stride + c] = srow[x * C + c];
+    }
     return;
   }
   const float x_ratio = static_cast<float>(sw) / dw;
@@ -138,27 +147,26 @@ void bilinear_resize(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw, i
     int x0 = static_cast<int>(sx);
     if (x0 > sw - 1) x0 = sw - 1;
     int x1 = x0 + 1 < sw ? x0 + 1 : sw - 1;
-    x0s[x] = x0 * 3;
-    x1s[x] = x1 * 3;
+    x0s[x] = x0 * C;
+    x1s[x] = x1 * C;
     xws[x] = static_cast<int>((sx - x0) * 256.0f + 0.5f);
   }
 
   // horizontal pass for the (up to) two source rows each output row needs,
   // cached so consecutive output rows sharing a source row reuse the work
-  std::vector<uint16_t> hrow0(static_cast<size_t>(dw) * 3), hrow1(static_cast<size_t>(dw) * 3);
+  std::vector<uint16_t> hrow0(static_cast<size_t>(dw) * C), hrow1(static_cast<size_t>(dw) * C);
   int cached_y0 = -1, cached_y1 = -1;
 
   auto hresize = [&](int sy, uint16_t* out) {
-    const uint8_t* row = src + static_cast<size_t>(sy) * sw * 3;
+    const uint8_t* row = src + static_cast<size_t>(sy) * sw * C;
     for (int x = 0; x < dw; ++x) {
       const int a = x0s[x], b = x1s[x], w1 = xws[x], w0 = 256 - w1;
-      out[x * 3 + 0] = static_cast<uint16_t>(row[a + 0] * w0 + row[b + 0] * w1);
-      out[x * 3 + 1] = static_cast<uint16_t>(row[a + 1] * w0 + row[b + 1] * w1);
-      out[x * 3 + 2] = static_cast<uint16_t>(row[a + 2] * w0 + row[b + 2] * w1);
+      for (int c = 0; c < C; ++c)
+        out[x * C + c] = static_cast<uint16_t>(row[a + c] * w0 + row[b + c] * w1);
     }
   };
 
-  const int n = dw * 3;
+  const int n = dw * C;
   for (int y = 0; y < dh; ++y) {
     float sy = (y + 0.5f) * y_ratio - 0.5f;
     if (sy < 0) sy = 0;
@@ -186,14 +194,21 @@ void bilinear_resize(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw, i
       cached_y1 = y1;
     }
 
-    uint8_t* drow = dst + static_cast<size_t>(y) * n;
+    uint8_t* drow = dst + static_cast<size_t>(y) * dw * dst_px_stride;
     const uint16_t* r0 = hrow0.data();
     const uint16_t* r1 = hrow1.data();
-    for (int i = 0; i < n; ++i) {
-      // (r0*wy0 + r1*wy1) is value * 256 * 256; round-shift back to uint8
-      drow[i] = static_cast<uint8_t>((r0[i] * wy0 + r1[i] * wy1 + 32768) >> 16);
+    for (int x = 0; x < dw; ++x) {
+      for (int c = 0; c < C; ++c) {
+        // (r0*wy0 + r1*wy1) is value * 256 * 256; round-shift back to uint8
+        drow[x * dst_px_stride + c] =
+            static_cast<uint8_t>((r0[x * C + c] * wy0 + r1[x * C + c] * wy1 + 32768) >> 16);
+      }
     }
   }
+}
+
+void bilinear_resize(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw, int dh) {
+  bilinear_resize_t<3>(src, sw, sh, dst, dw, dh, 3);
 }
 
 // Windowed variant: compute ONLY the [ox, ox+ow) x [oy, oy+oh) region of the
@@ -202,13 +217,16 @@ void bilinear_resize(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw, i
 // bit-identical to resize-then-crop while doing out_w*out_h work instead of
 // dw*dh. This is the hot-loop saver for MultiScaleCrop training plans whose
 // anisotropic resize target is up to ~3x the pixels of the final 224^2 crop.
-void bilinear_resize_window(const uint8_t* src, int sw, int sh, int dw, int dh,
-                            int ox, int oy, int ow, int oh, uint8_t* dst) {
+template <int C>
+void bilinear_resize_window_t(const uint8_t* src, int sw, int sh, int dw, int dh,
+                              int ox, int oy, int ow, int oh, uint8_t* dst,
+                              int dst_px_stride) {
   if (sw == dw && sh == dh) {  // identity resize: plain crop copy
     for (int y = 0; y < oh; ++y) {
-      std::memcpy(dst + static_cast<size_t>(y) * ow * 3,
-                  src + (static_cast<size_t>(oy + y) * sw + ox) * 3,
-                  static_cast<size_t>(ow) * 3);
+      const uint8_t* srow = src + (static_cast<size_t>(oy + y) * sw + ox) * C;
+      uint8_t* drow = dst + static_cast<size_t>(y) * ow * dst_px_stride;
+      for (int x = 0; x < ow; ++x)
+        for (int c = 0; c < C; ++c) drow[x * dst_px_stride + c] = srow[x * C + c];
     }
     return;
   }
@@ -223,25 +241,24 @@ void bilinear_resize_window(const uint8_t* src, int sw, int sh, int dw, int dh,
     int x0 = static_cast<int>(sx);
     if (x0 > sw - 1) x0 = sw - 1;
     int x1 = x0 + 1 < sw ? x0 + 1 : sw - 1;
-    x0s[x] = x0 * 3;
-    x1s[x] = x1 * 3;
+    x0s[x] = x0 * C;
+    x1s[x] = x1 * C;
     xws[x] = static_cast<int>((sx - x0) * 256.0f + 0.5f);
   }
 
-  std::vector<uint16_t> hrow0(static_cast<size_t>(ow) * 3), hrow1(static_cast<size_t>(ow) * 3);
+  std::vector<uint16_t> hrow0(static_cast<size_t>(ow) * C), hrow1(static_cast<size_t>(ow) * C);
   int cached_y0 = -1, cached_y1 = -1;
 
   auto hresize = [&](int sy, uint16_t* out) {
-    const uint8_t* row = src + static_cast<size_t>(sy) * sw * 3;
+    const uint8_t* row = src + static_cast<size_t>(sy) * sw * C;
     for (int x = 0; x < ow; ++x) {
       const int a = x0s[x], b = x1s[x], w1 = xws[x], w0 = 256 - w1;
-      out[x * 3 + 0] = static_cast<uint16_t>(row[a + 0] * w0 + row[b + 0] * w1);
-      out[x * 3 + 1] = static_cast<uint16_t>(row[a + 1] * w0 + row[b + 1] * w1);
-      out[x * 3 + 2] = static_cast<uint16_t>(row[a + 2] * w0 + row[b + 2] * w1);
+      for (int c = 0; c < C; ++c)
+        out[x * C + c] = static_cast<uint16_t>(row[a + c] * w0 + row[b + c] * w1);
     }
   };
 
-  const int n = ow * 3;
+  const int n = ow * C;
   for (int y = 0; y < oh; ++y) {
     float sy = (oy + y + 0.5f) * y_ratio - 0.5f;
     if (sy < 0) sy = 0;
@@ -269,13 +286,21 @@ void bilinear_resize_window(const uint8_t* src, int sw, int sh, int dw, int dh,
       cached_y1 = y1;
     }
 
-    uint8_t* drow = dst + static_cast<size_t>(y) * n;
+    uint8_t* drow = dst + static_cast<size_t>(y) * ow * dst_px_stride;
     const uint16_t* r0 = hrow0.data();
     const uint16_t* r1 = hrow1.data();
-    for (int i = 0; i < n; ++i) {
-      drow[i] = static_cast<uint8_t>((r0[i] * wy0 + r1[i] * wy1 + 32768) >> 16);
+    for (int x = 0; x < ow; ++x) {
+      for (int c = 0; c < C; ++c) {
+        drow[x * dst_px_stride + c] =
+            static_cast<uint8_t>((r0[x * C + c] * wy0 + r1[x * C + c] * wy1 + 32768) >> 16);
+      }
     }
   }
+}
+
+void bilinear_resize_window(const uint8_t* src, int sw, int sh, int dw, int dh,
+                            int ox, int oy, int ow, int oh, uint8_t* dst) {
+  bilinear_resize_window_t<3>(src, sw, sh, dw, dh, ox, oy, ow, oh, dst, 3);
 }
 
 struct Task {
@@ -283,6 +308,164 @@ struct Task {
   int crop_x, crop_y;  // -1 -> center
   uint8_t* out;        // out_h * out_w * 3
 };
+
+// ---------------------------------------------------------------------------
+// YUV420 wire-format decode: emit the JPEG's own stored planes (Y full res,
+// Cb/Cr at the file's 2x2 subsampling) instead of upsampling + converting to
+// RGB on the host. Chroma upsample + YCbCr->RGB run fused on the TPU
+// (bdvcil_tpu/ops/augment.yuv420_to_rgb), so the host skips ~1/3 of decode
+// work and the host->device wire carries 1.5 bytes/px instead of 3 — the
+// measured end-to-end bottleneck is wire bandwidth, not decode.
+// ---------------------------------------------------------------------------
+
+// Decode the raw (non-upsampled) YCbCr planes of a 2x2-subsampled color JPEG.
+// Returns false if the file is not a plain 420 3-component JPEG (caller falls
+// back to the RGB path) or on decode error.
+bool decode_jpeg_raw420(const char* path, std::vector<uint8_t>& ybuf,
+                        std::vector<uint8_t>& cbbuf, std::vector<uint8_t>& crbuf,
+                        int& width, int& height, int& ystride, int& cstride) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit_cb;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
+
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  if (cinfo.num_components != 3 || cinfo.jpeg_color_space != JCS_YCbCr ||
+      cinfo.comp_info[0].h_samp_factor != 2 || cinfo.comp_info[0].v_samp_factor != 2 ||
+      cinfo.comp_info[1].h_samp_factor != 1 || cinfo.comp_info[1].v_samp_factor != 1 ||
+      cinfo.comp_info[2].h_samp_factor != 1 || cinfo.comp_info[2].v_samp_factor != 1) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
+  cinfo.raw_data_out = TRUE;
+  jpeg_start_decompress(&cinfo);
+
+  width = static_cast<int>(cinfo.output_width);
+  height = static_cast<int>(cinfo.output_height);
+  // jpeg_read_raw_data hands back MCU rows (16 Y rows / 8 chroma rows per
+  // call) with block-padded widths; allocate padded planes and report strides
+  ystride = ((width + 15) / 16) * 16;
+  cstride = (((width + 1) / 2 + 7) / 8) * 8;
+  const int ypad_h = ((height + 15) / 16) * 16;
+  const int cpad_h = ypad_h / 2;
+  ybuf.resize(static_cast<size_t>(ystride) * ypad_h);
+  cbbuf.resize(static_cast<size_t>(cstride) * cpad_h);
+  crbuf.resize(static_cast<size_t>(cstride) * cpad_h);
+
+  JSAMPROW yrows[16], cbrows[8], crrows[8];
+  JSAMPARRAY planes[3] = {yrows, cbrows, crrows};
+  while (cinfo.output_scanline < cinfo.output_height) {
+    const int base = static_cast<int>(cinfo.output_scanline);  // multiple of 16
+    for (int r = 0; r < 16; ++r)
+      yrows[r] = ybuf.data() + static_cast<size_t>(base + r) * ystride;
+    for (int r = 0; r < 8; ++r) {
+      cbrows[r] = cbbuf.data() + static_cast<size_t>(base / 2 + r) * cstride;
+      crrows[r] = crbuf.data() + static_cast<size_t>(base / 2 + r) * cstride;
+    }
+    jpeg_read_raw_data(&cinfo, planes, 16);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return true;
+}
+
+// Windowed resize of one planar channel with the upscale-fallback corner of
+// the RGB path (two-stage resize when the crop window exceeds the resized
+// image) mirrored per plane.
+void resize_plane_window(const uint8_t* src, int sw, int sh, int stride, int dw,
+                         int dh, int cx, int cy, int out, uint8_t* dst,
+                         int dst_px_stride, std::vector<uint8_t>& scratch,
+                         std::vector<uint8_t>& scratch2) {
+  // repack strided plane to tight rows when needed
+  const uint8_t* tight = src;
+  if (stride != sw) {
+    scratch.resize(static_cast<size_t>(sw) * sh);
+    for (int y = 0; y < sh; ++y)
+      std::memcpy(scratch.data() + static_cast<size_t>(y) * sw,
+                  src + static_cast<size_t>(y) * stride, sw);
+    tight = scratch.data();
+  }
+  if (cx < 0) cx = 0;
+  if (cy < 0) cy = 0;
+  if (cx + out > dw) cx = dw - out;
+  if (cy + out > dh) cy = dh - out;
+  if (cx < 0 || cy < 0) {  // target larger than resized plane: squash
+    scratch2.resize(static_cast<size_t>(dw > 0 ? dw : 1) * (dh > 0 ? dh : 1));
+    bilinear_resize_t<1>(tight, sw, sh, scratch2.data(), dw, dh, 1);
+    bilinear_resize_t<1>(scratch2.data(), dw, dh, dst, out, out, dst_px_stride);
+    return;
+  }
+  bilinear_resize_window_t<1>(tight, sw, sh, dw, dh, cx, cy, out, out, dst,
+                              dst_px_stride);
+}
+
+// RGB fallback for non-420 files: decode+window-resize RGB exactly like
+// bdvc_decode_resize2_crop_batch, then forward-convert to Y + 2x2-averaged
+// CbCr (JPEG/BT.601 full-range fixed-point, libjpeg jcolor coefficients).
+bool rgb_window_to_yuv420(const char* path, int rw, int rh, int cx, int cy,
+                          int out, uint8_t* out_y, uint8_t* out_c,
+                          std::vector<uint8_t>& decoded, std::vector<uint8_t>& rgb,
+                          std::vector<uint8_t>& resized) {
+  int w = 0, h = 0;
+  if (!decode_jpeg_file(path, decoded, w, h, rw, rh)) return false;
+  rgb.resize(static_cast<size_t>(out) * out * 3);
+  if (cx < 0) cx = 0;
+  if (cy < 0) cy = 0;
+  if (cx + out > rw) cx = rw - out;
+  if (cy + out > rh) cy = rh - out;
+  if (cx < 0 || cy < 0) {
+    resized.resize(static_cast<size_t>(rw) * rh * 3);
+    bilinear_resize(decoded.data(), w, h, resized.data(), rw, rh);
+    bilinear_resize(resized.data(), rw, rh, rgb.data(), out, out);
+  } else {
+    bilinear_resize_window(decoded.data(), w, h, rw, rh, cx, cy, out, out, rgb.data());
+  }
+  // forward Y for every pixel; Cb/Cr from the 2x2 block average
+  const int half = out / 2;
+  for (int y = 0; y < out; ++y) {
+    const uint8_t* row = rgb.data() + static_cast<size_t>(y) * out * 3;
+    uint8_t* yrow = out_y + static_cast<size_t>(y) * out;
+    for (int x = 0; x < out; ++x) {
+      const int r = row[x * 3], g = row[x * 3 + 1], b = row[x * 3 + 2];
+      yrow[x] = static_cast<uint8_t>((19595 * r + 38470 * g + 7471 * b + 32768) >> 16);
+    }
+  }
+  for (int y = 0; y < half; ++y) {
+    uint8_t* crow = out_c + static_cast<size_t>(y) * half * 2;
+    for (int x = 0; x < half; ++x) {
+      int rs = 0, gs = 0, bs = 0;
+      for (int dy = 0; dy < 2; ++dy)
+        for (int dx = 0; dx < 2; ++dx) {
+          const uint8_t* p =
+              rgb.data() + ((static_cast<size_t>(2 * y + dy) * out) + 2 * x + dx) * 3;
+          rs += p[0];
+          gs += p[1];
+          bs += p[2];
+        }
+      rs = (rs + 2) >> 2;
+      gs = (gs + 2) >> 2;
+      bs = (bs + 2) >> 2;
+      // FIX(0.16874), FIX(0.33126), FIX(0.5) / FIX(0.41869), FIX(0.08131)
+      crow[x * 2 + 0] =
+          static_cast<uint8_t>((-11059 * rs - 21709 * gs + 32768 * bs + 8388608 + 32768) >> 16);
+      crow[x * 2 + 1] =
+          static_cast<uint8_t>((32768 * rs - 27439 * gs - 5329 * bs + 8388608 + 32768) >> 16);
+    }
+  }
+  return true;
+}
 
 }  // namespace
 
@@ -480,6 +663,77 @@ int bdvc_decode_resize2_crop_batch(const char** paths, int n,
       // rw*rh (MSC training plans upscale to ~3x the crop's pixels)
       bilinear_resize_window(decoded.data(), w, h, rw, rh, cx, cy, out_w, out_h,
                              out + static_cast<size_t>(i) * frame_bytes);
+    }
+  };
+
+  std::vector<std::thread> threads;
+  threads.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return failed.load();
+}
+
+// YUV420 wire-format batch: for each of n paths, decode the JPEG's raw
+// stored planes (no chroma upsample / RGB convert), realize the per-image
+// anisotropic resize target (resize_w[i], resize_h[i]) + square crop
+// out_size at (crop_x[i], crop_y[i]) per plane — Y on the full-res grid,
+// Cb/Cr on the half-res grid with halved geometry — and write
+//   out_y[i * out*out]           uint8 Y crop
+//   out_c[i * (out/2)^2 * 2]     uint8 interleaved CbCr at half resolution
+// Chroma upsample + YCbCr->RGB happen on-device. Non-420 files (422/444/
+// grayscale/CMYK) take the RGB decode path and are forward-converted, so
+// every input remains valid. out_size must be even. Returns 0 on success or
+// (1 + index) of the first failed file.
+int bdvc_decode_yuv420_batch(const char** paths, int n, const int* resize_w,
+                             const int* resize_h, int out_size, const int* crop_x,
+                             const int* crop_y, uint8_t* out_y, uint8_t* out_c,
+                             int num_threads) {
+  if (n <= 0) return 0;
+  if (out_size % 2 != 0) return -1;
+  if (num_threads < 1) num_threads = 1;
+  if (num_threads > n) num_threads = n;
+
+  std::atomic<int> next(0);
+  std::atomic<int> failed(0);
+  const int half = out_size / 2;
+  const size_t y_bytes = static_cast<size_t>(out_size) * out_size;
+  const size_t c_bytes = static_cast<size_t>(half) * half * 2;
+
+  auto worker = [&]() {
+    set_decode_thread_priority();
+    std::vector<uint8_t> ybuf, cbbuf, crbuf, s1, s2, s3;
+    while (true) {
+      const int i = next.fetch_add(1);
+      if (i >= n || failed.load() != 0) break;
+
+      const int rw = resize_w[i] > 0 ? resize_w[i] : 1;
+      const int rh = resize_h[i] > 0 ? resize_h[i] : 1;
+      int cx = crop_x ? crop_x[i] : -1;
+      int cy = crop_y ? crop_y[i] : -1;
+      if (cx < 0) cx = (rw - out_size) / 2;
+      if (cy < 0) cy = (rh - out_size) / 2;
+      if (cx < 0) cx = 0;
+      if (cy < 0) cy = 0;
+
+      int w = 0, h = 0, ystride = 0, cstride = 0;
+      if (decode_jpeg_raw420(paths[i], ybuf, cbbuf, crbuf, w, h, ystride, cstride)) {
+        resize_plane_window(ybuf.data(), w, h, ystride, rw, rh, cx, cy, out_size,
+                            out_y + static_cast<size_t>(i) * y_bytes, 1, s1, s2);
+        const int cw = (w + 1) / 2, chh = (h + 1) / 2;
+        const int rw2 = (rw + 1) / 2, rh2 = (rh + 1) / 2;
+        uint8_t* cdst = out_c + static_cast<size_t>(i) * c_bytes;
+        resize_plane_window(cbbuf.data(), cw, chh, cstride, rw2, rh2, cx / 2,
+                            cy / 2, half, cdst, 2, s1, s2);
+        resize_plane_window(crbuf.data(), cw, chh, cstride, rw2, rh2, cx / 2,
+                            cy / 2, half, cdst + 1, 2, s1, s2);
+      } else if (!rgb_window_to_yuv420(paths[i], rw, rh, cx, cy, out_size,
+                                       out_y + static_cast<size_t>(i) * y_bytes,
+                                       out_c + static_cast<size_t>(i) * c_bytes,
+                                       s1, s2, s3)) {
+        int expected = 0;
+        failed.compare_exchange_strong(expected, i + 1);
+        break;
+      }
     }
   };
 

@@ -1,0 +1,154 @@
+"""YUV420 wire-format decode path: host emits the JPEG's stored planes
+(native.decode_yuv420_batch), the device reconstructs RGB
+(ops.augment.yuv420_to_rgb). Halves host->device wire bytes vs RGB u8 —
+the measured e2e bottleneck on CPU-quota-limited hosts (PERF_NOTES).
+
+Fidelity contract tested here:
+  * device fancy-upsample == libjpeg h2v2_fancy_upsample (numpy oracle)
+  * identity geometry: YUV wire + device reconstruct is BIT-IDENTICAL to
+    the host RGB decode (same libjpeg planes, same fixed-point math)
+  * resize geometry: close to the RGB path (plane-resize reordering only)
+  * non-420 inputs fall back to RGB decode + forward conversion
+"""
+
+import cv2
+import numpy as np
+import pytest
+
+from bdvcil_tpu.data import native
+
+needs_yuv = pytest.mark.skipif(
+    not (native.available() and native.has_yuv420()),
+    reason="native decoder without yuv420 kernel",
+)
+
+
+def _smooth_img(rng, h, w):
+    img = rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+    return cv2.GaussianBlur(img, (7, 7), 3)
+
+
+@pytest.fixture(scope="module")
+def jpegs420(tmp_path_factory):
+    root = tmp_path_factory.mktemp("yuv_jpegs")
+    rng = np.random.default_rng(7)
+    paths = []
+    for i, (h, w) in enumerate([(256, 256), (240, 320), (180, 226)]):
+        p = root / f"img_{i}.jpg"
+        # cv2 writes 4:2:0 chroma subsampling by default
+        cv2.imwrite(str(p), _smooth_img(rng, h, w), [cv2.IMWRITE_JPEG_QUALITY, 95])
+        paths.append(str(p))
+    return paths
+
+
+def fancy_upsample2x_oracle(p):
+    """libjpeg jdsample.c h2v2_fancy_upsample, straight-line numpy."""
+    p = p.astype(np.int64)
+    h, w = p.shape
+    pad = np.pad(p, 1, mode="edge")
+    out = np.zeros((2 * h, 2 * w), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            c = pad[y + 1, x + 1]
+            for oy, vy in ((0, y), (1, y + 2)):
+                v = pad[vy, x + 1]
+                for ox, vx, bias in ((0, x, 8), (1, x + 2, 7)):
+                    d = pad[vy, vx]
+                    hh = pad[y + 1, vx]
+                    out[2 * y + oy, 2 * x + ox] = (9 * c + 3 * hh + 3 * v + d + bias) >> 4
+    return out.astype(np.uint8)
+
+
+def test_fancy_upsample_matches_libjpeg_oracle():
+    from bdvcil_tpu.ops.augment import fancy_upsample2x
+
+    rng = np.random.default_rng(0)
+    plane = rng.integers(0, 256, size=(6, 9)).astype(np.uint8)
+    ours = np.asarray(fancy_upsample2x(plane))
+    np.testing.assert_array_equal(ours, fancy_upsample2x_oracle(plane))
+
+
+@needs_yuv
+def test_identity_geometry_bit_exact_vs_rgb_kernel(jpegs420):
+    """No resize, full-image square crop: the YUV wire carries libjpeg's own
+    planes and the device redoes exactly libjpeg's upsample+convert, so the
+    reconstruction must equal the host RGB decode bit for bit."""
+    from bdvcil_tpu.ops.augment import yuv420_to_rgb
+
+    p = jpegs420[0]  # the square 256x256 image
+    dims = np.array([[256, 256]], dtype=np.int32)
+    rgb = native.decode_resize2_crop_batch([p], dims, 256, 256, [(0, 0)])
+    y, c = native.decode_yuv420_batch([p], dims, 256, [(0, 0)])
+    recon = np.asarray(yuv420_to_rgb(y, c))
+    np.testing.assert_array_equal(recon, rgb)
+
+
+@needs_yuv
+def test_resize_geometry_close_to_rgb_kernel(jpegs420):
+    """Real train geometry (anisotropic resize + offset crop): plane-space
+    resize reorders the interpolation vs RGB-space resize; on smooth content
+    the reconstruction stays within ~1 gray level of the RGB path."""
+    from bdvcil_tpu.ops.augment import yuv420_to_rgb
+
+    dims = np.array([[292, 292], [342, 256], [288, 230]], dtype=np.int32)
+    crops = [(10, 20), (64, 8), (0, 0)]
+    rgb = native.decode_resize2_crop_batch(jpegs420, dims, 224, 224, crops)
+    y, c = native.decode_yuv420_batch(jpegs420, dims, 224, crops)
+    recon = np.asarray(yuv420_to_rgb(y, c))
+    assert recon.shape == rgb.shape
+    diff = np.abs(recon.astype(int) - rgb.astype(int))
+    assert diff.mean() < 1.5, diff.mean()
+    assert np.mean((recon.astype(float) - rgb.astype(float)) ** 2) < 30  # ~33+ dB
+
+
+@needs_yuv
+def test_upscale_fallback_geometry(jpegs420):
+    """Crop window larger than the resize target exercises the two-stage
+    squash fallback in both kernels."""
+    from bdvcil_tpu.ops.augment import yuv420_to_rgb
+
+    p = jpegs420[2]
+    dims = np.array([[200, 160]], dtype=np.int32)
+    rgb = native.decode_resize2_crop_batch([p], dims, 224, 224, [(0, 0)])
+    y, c = native.decode_yuv420_batch([p], dims, 224, [(0, 0)])
+    recon = np.asarray(yuv420_to_rgb(y, c))
+    diff = np.abs(recon.astype(int) - rgb.astype(int))
+    assert diff.mean() < 2.5, diff.mean()
+
+
+@needs_yuv
+def test_non420_jpeg_falls_back(tmp_path):
+    """4:4:4-sampled JPEG takes the RGB decode + forward-convert path and
+    still reconstructs closely."""
+    if not hasattr(cv2, "IMWRITE_JPEG_SAMPLING_FACTOR"):
+        pytest.skip("cv2 without sampling-factor control")
+    from bdvcil_tpu.ops.augment import yuv420_to_rgb
+
+    rng = np.random.default_rng(3)
+    p = str(tmp_path / "s444.jpg")
+    cv2.imwrite(
+        p,
+        _smooth_img(rng, 200, 240),
+        [
+            cv2.IMWRITE_JPEG_QUALITY,
+            95,
+            cv2.IMWRITE_JPEG_SAMPLING_FACTOR,
+            cv2.IMWRITE_JPEG_SAMPLING_FACTOR_444,
+        ],
+    )
+    dims = np.array([[256, 214]], dtype=np.int32)
+    rgb = native.decode_resize2_crop_batch([p], dims, 196, 196, [(5, 5)])
+    y, c = native.decode_yuv420_batch([p], dims, 196, [(5, 5)])
+    recon = np.asarray(yuv420_to_rgb(y, c))
+    # forward 2x2-average + fancy-upsample round trip softens chroma; luma
+    # is exact, so the overall error stays small on smooth content
+    diff = np.abs(recon.astype(int) - rgb.astype(int))
+    assert diff.mean() < 3.0, diff.mean()
+
+
+@needs_yuv
+def test_decode_failure_reports_index(jpegs420, tmp_path):
+    bad = str(tmp_path / "missing.jpg")
+    dims = np.array([[256, 256], [256, 256]], dtype=np.int32)
+    with pytest.raises(IOError):
+        native.decode_yuv420_batch([jpegs420[0], bad], dims, 128, [(0, 0), (0, 0)])

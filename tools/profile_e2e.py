@@ -157,6 +157,13 @@ def run_mode(mode, step, state, make_loader, steps, batch):
     out = {"mode": mode, "steps": n, "wall_s": round(wall, 2),
            "clips_per_sec": round(rate, 2),
            **{k: round(v / n * 1000, 1) for k, v in stats.items()}}
+    if os.environ.get("BDVC_PROFILE_PRODUCER"):
+        from bdvcil_tpu.data.device_pipeline import PRODUCER_STATS, _PRODUCER_STATS_LOCK
+
+        with _PRODUCER_STATS_LOCK:
+            nb = PRODUCER_STATS.pop("batches", 0.0) or 1.0
+            out["producer_ms"] = {k: round(v / nb * 1000, 1) for k, v in PRODUCER_STATS.items()}
+            PRODUCER_STATS.clear()
     print(json.dumps(out))
     return state
 
