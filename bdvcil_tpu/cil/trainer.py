@@ -464,6 +464,15 @@ class CILTrainer:
                     crop_size = int(scale[0])
 
         randaug_prob = float(self.config.get("randAug_prob", 0.75))
+        # host->device wire format: 'auto' ships YUV420 planes (half the
+        # bytes; device reconstructs RGB in-graph) when the native kernel
+        # supports it; set fast_input_wire_format='rgb' for bit-parity with
+        # the host pipeline (data/device_pipeline.resolve_wire_format)
+        from ..data.device_pipeline import resolve_wire_format
+
+        wire_format = resolve_wire_format(
+            str(self.config.get("fast_input_wire_format", "auto")), crop_size
+        )
         loader = FastBGMixLoader(
             ds.video_infos,
             ds.bg_files,
@@ -486,12 +495,15 @@ class CILTrainer:
             # production tuning on many-core TPU hosts (PERF_NOTES "Loader
             # producer pool"); default 1 suits small/quota-limited hosts
             num_workers=int(self.config.get("fast_input_workers", 1)),
+            wire_format=wire_format,
         )
         input_fn = make_fast_input_fn(
             alpha=float(getattr(ds, "alpha", 0.5)),
             with_randaug=randaug_prob >= 0,
             dtype=self.spec.dtype,
+            wire_format=loader.wire_format,
         )
+        logger.info("fast input pipeline: %s wire format", loader.wire_format)
         return loader, input_fn
 
     def _fast_acm_loader(self, ds):

@@ -60,6 +60,28 @@ def _record_producer_phases(**seconds: float) -> None:
         PRODUCER_STATS["batches"] = PRODUCER_STATS.get("batches", 0.0) + 1.0
 
 
+def resolve_wire_format(wire_format: str, crop_size: int) -> str:
+    """Resolve the host->device wire format for the fast input path.
+
+    'rgb' ships decoded uint8 RGB crops (bit-parity with the host cv2/PIL
+    pipeline). 'yuv420' ships the JPEG's stored luma/chroma planes — half
+    the bytes, ~1/3 less host decode work — and the jitted input_fn
+    reconstructs RGB on device (ops/augment.yuv420_to_rgb); reconstruction
+    differs from the RGB path by ~1 gray level at resize geometry
+    (tests/test_yuv_wire.py). 'auto' picks yuv420 whenever the native kernel
+    exists and the crop is even."""
+    if wire_format == "auto":
+        return "yuv420" if native.has_yuv420() and crop_size % 2 == 0 else "rgb"
+    if wire_format == "yuv420" and not (native.has_yuv420() and crop_size % 2 == 0):
+        raise ValueError(
+            f"wire_format='yuv420' needs the yuv420 native kernel and an even "
+            f"crop size (got crop={crop_size}, has_yuv420={native.has_yuv420()})"
+        )
+    if wire_format not in ("rgb", "yuv420"):
+        raise ValueError(f"unknown wire_format {wire_format!r}")
+    return wire_format
+
+
 def resized_dims(w: int, h: int, short_side: int) -> tuple:
     """Post-resize dims for a short-side resize, matching mmcv rescale
     semantics (int(dim * factor + 0.5), decoder.cpp resize contract)."""
@@ -231,6 +253,7 @@ def make_fast_input_fn(
     randaug_m: int = 10,
     with_randaug: bool = True,
     dtype=None,
+    wire_format: str = "rgb",
 ):
     """Device half of the fast path, for ``make_train_step(input_fn=...)``:
     uint8 batch dict -> augmented normalized clips, fully fused under jit.
@@ -238,14 +261,21 @@ def make_fast_input_fn(
     Order matches the reference train pipeline: RandAugment runs on decoded
     uint8 crops (before Normalize, rand_augment config position :127), then
     normalize + flip + bgmix (mutually exclusive with randAug via the masks
-    the loader drew)."""
+    the loader drew). With ``wire_format='yuv420'`` the batch carries the
+    loader's YUV planes and RGB is reconstructed in-graph first
+    (ops/augment.yuv420_to_rgb) — must match the loader's wire_format."""
     import jax.numpy as jnp
 
-    from ..ops.augment import fused_train_augment
+    from ..ops.augment import fused_train_augment, yuv420_to_rgb
     from ..ops.rand_augment_dev import rand_augment_batch
 
     def input_fn(batch):
-        imgs_u8 = batch["imgs_u8"]
+        if wire_format == "yuv420":
+            imgs_u8 = yuv420_to_rgb(batch["imgs_y"], batch["imgs_c"])
+            bg_u8 = yuv420_to_rgb(batch["bg_y"], batch["bg_c"])
+        else:
+            imgs_u8 = batch["imgs_u8"]
+            bg_u8 = batch["bg_u8"]
         if with_randaug:
             augmented = rand_augment_batch(
                 batch["randaug_key"], imgs_u8, n=randaug_n, m=randaug_m
@@ -255,7 +285,7 @@ def make_fast_input_fn(
         out_dtype = dtype if dtype is not None else jnp.float32
         return fused_train_augment(
             imgs_u8,
-            batch["bg_u8"],
+            bg_u8,
             batch["apply_bgmix"],
             batch["flip"],
             alpha=alpha,
@@ -405,9 +435,11 @@ class FastBGMixLoader:
         num_workers: int = 1,
         process_index: int = None,
         process_count: int = None,
+        wire_format: str = "rgb",  # 'rgb' | 'yuv420' | 'auto'
     ):
         if not native.available():
             raise RuntimeError("native decoder unavailable; use the standard DataLoader")
+        self.wire_format = resolve_wire_format(wire_format, crop_size)
         self.video_infos = list(video_infos)
         self.bg_files = list(bg_files)
         self.batch_size = batch_size  # GLOBAL batch size
@@ -570,15 +602,33 @@ class FastBGMixLoader:
         )
         if profile:
             t_plan = time.perf_counter()
-        dec = native.decode_resize2_crop_batch(
-            frame_paths + bg_paths,
-            np.concatenate([resize_dims, bg_dims]),
-            out_h=crop,
-            out_w=crop,
-            crops=crops + bg_crops,
-            num_threads=self.num_threads,
-        )
-        imgs, bg = dec[: b * t], dec[b * t :]
+        all_paths = frame_paths + bg_paths
+        all_dims = np.concatenate([resize_dims, bg_dims])
+        all_crops = crops + bg_crops
+        if self.wire_format == "yuv420":
+            y, c = native.decode_yuv420_batch(
+                all_paths, all_dims, crop, all_crops, num_threads=self.num_threads
+            )
+            half = crop // 2
+            pixels = {
+                "imgs_y": y[: b * t].reshape(b, t, crop, crop),
+                "imgs_c": c[: b * t].reshape(b, t, half, half, 2),
+                "bg_y": y[b * t :],
+                "bg_c": c[b * t :],
+            }
+        else:
+            dec = native.decode_resize2_crop_batch(
+                all_paths,
+                all_dims,
+                out_h=crop,
+                out_w=crop,
+                crops=all_crops,
+                num_threads=self.num_threads,
+            )
+            pixels = {
+                "imgs_u8": dec[: b * t].reshape(b, t, crop, crop, 3),
+                "bg_u8": dec[b * t :],
+            }
         if profile:
             t_dec = time.perf_counter()
             _record_producer_phases(
@@ -589,8 +639,7 @@ class FastBGMixLoader:
             )
 
         out = {
-            "imgs_u8": imgs.reshape(b, t, crop, crop, 3),
-            "bg_u8": bg,
+            **pixels,
             "apply_bgmix": apply_bgmix,
             "apply_randaug": apply_randaug,
             "randaug_key": randaug_keys,

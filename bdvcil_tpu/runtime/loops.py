@@ -131,7 +131,8 @@ def train_epochs(
         valid-row count, and the host->device transfer/sharding — so the
         transfer overlaps the previous step's device execution instead of
         serializing inside the next dispatch."""
-        if "imgs_u8" in batch:  # fast uint8 path (data/device_pipeline.py)
+        # fast uint8/yuv420 path (data/device_pipeline.py)
+        if "imgs_u8" in batch or "imgs_y" in batch:
             imgs = {
                 k: v
                 for k, v in batch.items()

@@ -150,15 +150,19 @@ def bench_train_e2e(print_json=True):
              momentum=0.9, weight_decay=1e-4),
         steps_per_epoch=100,
     )
-    input_fn = make_fast_input_fn(alpha=0.5, with_randaug=True, dtype=jnp.bfloat16)
-    step = make_train_step(spec, tx, num_classes=51, method="base", input_fn=input_fn)
-    state = TrainState.create(variables, tx)
-
     loader = FastBGMixLoader(
         video_infos, bg_files, batch_size=batch, num_segments=num_segments,
         randaug_prob=0.75, seed=0, drop_last=True, prefetch=2,
         num_workers=int(os.environ.get("BENCH_WORKERS", "1")),
+        # YUV420 wire when the native kernel has it (the shipping default in
+        # cil/trainer._try_fast_loader): half the host->device bytes
+        wire_format=os.environ.get("BENCH_WIRE", "auto"),
     )
+    input_fn = make_fast_input_fn(
+        alpha=0.5, with_randaug=True, dtype=jnp.bfloat16, wire_format=loader.wire_format
+    )
+    step = make_train_step(spec, tx, num_classes=51, method="base", input_fn=input_fn)
+    state = TrainState.create(variables, tx)
     key = jax.random.PRNGKey(0)
 
     from bdvcil_tpu.runtime.loops import prefetch_to_device

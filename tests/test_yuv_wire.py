@@ -11,6 +11,8 @@ Fidelity contract tested here:
   * non-420 inputs fall back to RGB decode + forward conversion
 """
 
+import pathlib
+
 import cv2
 import numpy as np
 import pytest
@@ -152,3 +154,83 @@ def test_decode_failure_reports_index(jpegs420, tmp_path):
     dims = np.array([[256, 256], [256, 256]], dtype=np.int32)
     with pytest.raises(IOError):
         native.decode_yuv420_batch([jpegs420[0], bad], dims, 128, [(0, 0), (0, 0)])
+
+
+# ---------------------------------------------------------------------------
+# loader + jitted input_fn integration
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def wire_env(tmp_path_factory):
+    from bdvcil_tpu.data.datasets import RawframeDataset
+    from tests.synthetic import make_rawframe_tree
+
+    root = tmp_path_factory.mktemp("wire")
+    frames_root, train_ann, _ = make_rawframe_tree(
+        root, num_classes=2, videos_per_class=3, num_frames=8, size=(120, 156)
+    )
+    ds = RawframeDataset(str(train_ann), [], data_prefix=str(frames_root))
+    # bg pool: first frame of each video (content irrelevant to the wire test)
+    bg_files = [
+        str(pathlib.Path(info["frame_dir"]) / "img_00001.jpg") for info in ds.video_infos[:3]
+    ]
+    return ds, bg_files
+
+
+@needs_yuv
+def test_loader_wire_formats_agree(wire_env):
+    """Same seed, both wire formats: identical metadata/masks/keys, and the
+    device-reconstructed pixels stay within ~1 gray level of the RGB wire."""
+    from bdvcil_tpu.data.device_pipeline import FastBGMixLoader
+    from bdvcil_tpu.ops.augment import yuv420_to_rgb
+
+    ds, bg_files = wire_env
+    mk = lambda wf: FastBGMixLoader(
+        ds.video_infos, bg_files, batch_size=4, num_segments=4, crop_size=96,
+        short_side=112, randaug_prob=0.5, seed=11, wire_format=wf,
+    )
+    rgb = next(iter(mk("rgb")))
+    yuv = next(iter(mk("yuv420")))
+    for k in ("label", "apply_bgmix", "apply_randaug", "randaug_key", "flip"):
+        np.testing.assert_array_equal(rgb[k], yuv[k])
+    assert yuv["imgs_y"].shape == (4, 4, 96, 96)
+    assert yuv["imgs_c"].shape == (4, 4, 48, 48, 2)
+    recon = np.asarray(yuv420_to_rgb(yuv["imgs_y"], yuv["imgs_c"]))
+    diff = np.abs(recon.astype(int) - rgb["imgs_u8"].astype(int))
+    assert diff.mean() < 2.0, diff.mean()
+    bg_recon = np.asarray(yuv420_to_rgb(yuv["bg_y"], yuv["bg_c"]))
+    assert np.abs(bg_recon.astype(int) - rgb["bg_u8"].astype(int)).mean() < 2.0
+
+
+@needs_yuv
+def test_input_fn_yuv_wire_jits_and_matches(wire_env):
+    """make_fast_input_fn(wire_format='yuv420') compiles under jit (randaug
+    on) and, with randaug off, its output matches the RGB wire's to within
+    the wire reconstruction error in normalized units."""
+    import jax
+    import jax.numpy as jnp
+
+    from bdvcil_tpu.data.device_pipeline import FastBGMixLoader, make_fast_input_fn
+
+    ds, bg_files = wire_env
+    mk = lambda wf: FastBGMixLoader(
+        ds.video_infos, bg_files, batch_size=4, num_segments=4, crop_size=96,
+        short_side=112, randaug_prob=0.5, seed=11, wire_format=wf,
+    )
+    rgb = next(iter(mk("rgb")))
+    yuv = next(iter(mk("yuv420")))
+
+    fn_rgb = make_fast_input_fn(with_randaug=False)
+    fn_yuv = make_fast_input_fn(with_randaug=False, wire_format="yuv420")
+    out_rgb = np.asarray(jax.jit(fn_rgb)(rgb))
+    out_yuv = np.asarray(jax.jit(fn_yuv)(yuv))
+    assert out_rgb.shape == out_yuv.shape
+    # ~1 u8 step = ~0.018 normalized; wire error is sub-level on average
+    assert np.abs(out_rgb - out_yuv).mean() < 0.05
+
+    # randaug path: shapes/dtype sane under jit with the yuv wire
+    fn_aug = make_fast_input_fn(with_randaug=True, dtype=jnp.bfloat16, wire_format="yuv420")
+    out_aug = jax.jit(fn_aug)(yuv)
+    assert out_aug.shape == out_yuv.shape
+    assert out_aug.dtype == jnp.bfloat16

@@ -92,12 +92,18 @@ def build(batch, num_videos):
              momentum=0.9, weight_decay=1e-4),
         steps_per_epoch=100,
     )
-    input_fn = make_fast_input_fn(alpha=0.5, with_randaug=True, dtype=jnp.bfloat16)
+    wire = os.environ.get("BDVC_WIRE", "auto")
+    from bdvcil_tpu.data.device_pipeline import resolve_wire_format
+
+    wire = resolve_wire_format(wire, 224)
+    input_fn = make_fast_input_fn(
+        alpha=0.5, with_randaug=True, dtype=jnp.bfloat16, wire_format=wire
+    )
     step = make_train_step(spec, tx, num_classes=51, method="base", input_fn=input_fn)
     state = TrainState.create(variables, tx)
 
     def make_loader(**kw):
-        args = dict(randaug_prob=0.75, seed=0, drop_last=True, prefetch=2)
+        args = dict(randaug_prob=0.75, seed=0, drop_last=True, prefetch=2, wire_format=wire)
         args.update(kw)
         return FastBGMixLoader(video_infos, bg_files, batch_size=batch,
                                num_segments=num_segments, **args)
