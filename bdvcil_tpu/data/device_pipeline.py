@@ -407,7 +407,73 @@ class FastEvalLoader:
         )
 
 
-class FastBGMixLoader:
+class _EpochSpanMixin:
+    """Shared epoch scheduling for the fast train loaders.
+
+    ``__iter__`` yields one epoch (the torch-DataLoader-shaped contract the
+    rest of the code consumes); ``iter_epochs`` chains several epochs'
+    batch lists through ONE worker pool, so the producer threads and their
+    prefetch depth stay hot across epoch boundaries. With few steps per
+    epoch the per-epoch pool teardown + cold refill otherwise costs a full
+    producer latency per epoch (measured ~150-250 ms — PERF_NOTES round 3).
+    Batch content is a pure function of (seed, epoch, idx), carried per work
+    item, so chaining cannot change results vs per-epoch iteration."""
+
+    def _epoch_batches(self, epoch: int) -> List[tuple]:
+        n = len(self.video_infos)
+        indices = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch]))
+            rng.shuffle(indices)
+        batches = [
+            (indices[i : i + self.batch_size], None) for i in range(0, n, self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1][0]) < self.batch_size:
+            batches.pop()
+        elif self.pad_to_batch and batches and len(batches[-1][0]) < self.batch_size:
+            # wrap-pad the short tail and mark pad rows (sample_weight 0),
+            # keeping batch shapes static for jit like data/loader.py:87-96
+            short = batches[-1][0]
+            pad = indices[: self.batch_size - len(short)]
+            while len(short) + len(pad) < self.batch_size:  # tiny datasets
+                pad = np.concatenate([pad, pad])[: self.batch_size - len(short)]
+            batches[-1] = (np.concatenate([short, pad]), len(short))
+        if self.pad_to_batch:
+            batches = [
+                (idxs, np.where(np.arange(len(idxs)) < (nv if nv is not None else len(idxs)),
+                                np.float32(1), np.float32(0)))
+                for idxs, nv in batches
+            ]
+        if self.process_count > 1:
+            per = self.batch_size // self.process_count
+            lo = self.process_index * per
+            batches = [
+                (idxs[lo : lo + per], None if w is None else w[lo : lo + per])
+                for idxs, w in batches
+            ]
+        return [(idxs, w, epoch) for idxs, w in batches]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        # worker pool keeps batches decoding while the device trains on the
+        # previous one; ordered reassembly preserves determinism
+        yield from _parallel_ordered_iter(
+            self._epoch_batches(self.epoch), self._make_batch, self.num_workers, self.prefetch
+        )
+
+    def iter_epochs(self, first_epoch: int, num_epochs: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Chain ``num_epochs`` epochs (starting at ``first_epoch``) through
+        one continuous producer stream; ``len(self)`` batches per epoch."""
+        work = [
+            item
+            for e in range(first_epoch, first_epoch + num_epochs)
+            for item in self._epoch_batches(e)
+        ]
+        yield from _parallel_ordered_iter(
+            work, self._make_batch, self.num_workers, self.prefetch
+        )
+
+
+class FastBGMixLoader(_EpochSpanMixin):
     """Batched uint8 producer over a BackgroundMixDataset-shaped corpus."""
 
     def __init__(
@@ -502,7 +568,10 @@ class FastBGMixLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     # -- batch assembly ----------------------------------------------------
-    def _make_batch(self, indices: np.ndarray, weights: np.ndarray = None) -> Dict[str, np.ndarray]:
+    def _make_batch(
+        self, indices: np.ndarray, weights: np.ndarray = None, epoch: int = None
+    ) -> Dict[str, np.ndarray]:
+        epoch = self.epoch if epoch is None else int(epoch)
         profile = _producer_profiling_enabled()
         if profile:
             import time
@@ -531,7 +600,7 @@ class FastBGMixLoader:
         probe: List = []
         for row, idx in enumerate(indices):
             rng = np.random.default_rng(
-                np.random.SeedSequence([self.seed, self.epoch, int(idx), 7])
+                np.random.SeedSequence([self.seed, epoch, int(idx), 7])
             )
             rngs.append(rng)
             info = self.video_infos[int(idx)]
@@ -650,46 +719,6 @@ class FastBGMixLoader:
             out["sample_weight"] = weights
         return out
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        n = len(self.video_infos)
-        indices = np.arange(n)
-        if self.shuffle:
-            rng = np.random.default_rng(np.random.SeedSequence([self.seed, self.epoch]))
-            rng.shuffle(indices)
-        batches = [
-            (indices[i : i + self.batch_size], None) for i in range(0, n, self.batch_size)
-        ]
-        if self.drop_last and batches and len(batches[-1][0]) < self.batch_size:
-            batches.pop()
-        elif self.pad_to_batch and batches and len(batches[-1][0]) < self.batch_size:
-            # wrap-pad the short tail and mark pad rows (sample_weight 0),
-            # keeping batch shapes static for jit like data/loader.py:87-96
-            short = batches[-1][0]
-            pad = indices[: self.batch_size - len(short)]
-            while len(short) + len(pad) < self.batch_size:  # tiny datasets
-                pad = np.concatenate([pad, pad])[: self.batch_size - len(short)]
-            batches[-1] = (np.concatenate([short, pad]), len(short))
-        if self.pad_to_batch:
-            batches = [
-                (idxs, np.where(np.arange(len(idxs)) < (nv if nv is not None else len(idxs)),
-                                np.float32(1), np.float32(0)))
-                for idxs, nv in batches
-            ]
-        if self.process_count > 1:
-            per = self.batch_size // self.process_count
-            lo = self.process_index * per
-            batches = [
-                (idxs[lo : lo + per], None if w is None else w[lo : lo + per])
-                for idxs, w in batches
-            ]
-
-        # worker pool keeps batches decoding while the device trains on the
-        # previous one; ordered reassembly preserves determinism
-        yield from _parallel_ordered_iter(
-            batches, self._make_batch, self.num_workers, self.prefetch
-        )
-
-
 def transform_acm_boxes(
     dets: np.ndarray, orig_w: int, orig_h: int, short_side: int, out_size: int, flip: bool
 ) -> np.ndarray:
@@ -722,7 +751,7 @@ def _rasterized_union_area(boxes: np.ndarray, h: int, w: int) -> int:
     return int(mask.sum())
 
 
-class FastACMLoader:
+class FastACMLoader(_EpochSpanMixin):
     """Batched uint8 producer over an ActorCutMixDataset-shaped corpus.
 
     Host side decodes BOTH the action clip and the scene clip straight to the
@@ -839,7 +868,10 @@ class FastACMLoader:
         return boxes
 
     # -- batch assembly ----------------------------------------------------
-    def _make_batch(self, indices: np.ndarray, weights: np.ndarray = None) -> Dict[str, np.ndarray]:
+    def _make_batch(
+        self, indices: np.ndarray, weights: np.ndarray = None, epoch: int = None
+    ) -> Dict[str, np.ndarray]:
+        epoch = self.epoch if epoch is None else int(epoch)
         b, t, crop = len(indices), self.num_segments, self.crop_size
         k = self.max_boxes
 
@@ -858,7 +890,7 @@ class FastACMLoader:
         probe: List = []
         for row, idx in enumerate(indices):
             rng = np.random.default_rng(
-                np.random.SeedSequence([self.seed, self.epoch, int(idx), 9])
+                np.random.SeedSequence([self.seed, epoch, int(idx), 9])
             )
             info = self.video_infos[int(idx)]
             labels[row, 0] = info["label"]
@@ -987,40 +1019,6 @@ class FastACMLoader:
         return out
 
     _get_dims = FastBGMixLoader._get_dims
-
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        n = len(self.video_infos)
-        indices = np.arange(n)
-        if self.shuffle:
-            rng = np.random.default_rng(np.random.SeedSequence([self.seed, self.epoch]))
-            rng.shuffle(indices)
-        batches = [
-            (indices[i : i + self.batch_size], None) for i in range(0, n, self.batch_size)
-        ]
-        if self.drop_last and batches and len(batches[-1][0]) < self.batch_size:
-            batches.pop()
-        elif self.pad_to_batch and batches and len(batches[-1][0]) < self.batch_size:
-            short = batches[-1][0]
-            pad = indices[: self.batch_size - len(short)]
-            while len(short) + len(pad) < self.batch_size:
-                pad = np.concatenate([pad, pad])[: self.batch_size - len(short)]
-            batches[-1] = (np.concatenate([short, pad]), len(short))
-        if self.pad_to_batch:
-            batches = [
-                (idxs, np.where(np.arange(len(idxs)) < (nv if nv is not None else len(idxs)),
-                                np.float32(1), np.float32(0)))
-                for idxs, nv in batches
-            ]
-        if self.process_count > 1:
-            per = self.batch_size // self.process_count
-            lo = self.process_index * per
-            batches = [
-                (idxs[lo : lo + per], None if w is None else w[lo : lo + per])
-                for idxs, w in batches
-            ]
-        yield from _parallel_ordered_iter(
-            batches, self._make_batch, self.num_workers, self.prefetch
-        )
 
 
 def make_fast_acm_input_fn(

@@ -114,6 +114,13 @@ def _load():
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.c_int,
             ]
+        if hasattr(lib, "bdvc_cache_stats"):
+            lib.bdvc_cache_stats.restype = None
+            lib.bdvc_cache_stats.argtypes = [ctypes.POINTER(ctypes.c_long)] * 4
+            lib.bdvc_cache_clear.restype = None
+            lib.bdvc_cache_clear.argtypes = []
+            lib.bdvc_cache_set_budget_mb.restype = None
+            lib.bdvc_cache_set_budget_mb.argtypes = [ctypes.c_long]
         if hasattr(lib, "bdvc_probe_dims_batch"):
             lib.bdvc_probe_dims_batch.restype = ctypes.c_int
             lib.bdvc_probe_dims_batch.argtypes = [
@@ -359,3 +366,30 @@ def decode_tencrop_batch(
     if rc != 0:
         raise IOError(f"decode failed for {paths[rc - 1]}")
     return out
+
+
+def decode_cache_stats() -> Optional[dict]:
+    """Decoded-plane cache counters: ``{'hits', 'misses', 'bytes',
+    'entries'}`` (None when the native library predates the cache). Hit rate
+    telemetry for the fast input path — the cache turns epoch 2+ of a task
+    into windowed-resize-only work (native/decoder.cpp PlaneCache)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "bdvc_cache_stats"):
+        return None
+    vals = [ctypes.c_long(0) for _ in range(4)]
+    lib.bdvc_cache_stats(*[ctypes.byref(v) for v in vals])
+    return dict(zip(("hits", "misses", "bytes", "entries"), (v.value for v in vals)))
+
+
+def decode_cache_clear() -> None:
+    lib = _load()
+    if lib is not None and hasattr(lib, "bdvc_cache_clear"):
+        lib.bdvc_cache_clear()
+
+
+def decode_cache_set_budget_mb(mb: int) -> None:
+    """Override the decoded-plane cache budget at runtime (<=0 disables and
+    flushes). Startup default comes from BDVC_DECODE_CACHE_MB (512)."""
+    lib = _load()
+    if lib is not None and hasattr(lib, "bdvc_cache_set_budget_mb"):
+        lib.bdvc_cache_set_budget_mb(int(mb))

@@ -9,6 +9,7 @@ padding is dropped on host.
 
 from __future__ import annotations
 
+import itertools
 from typing import Any, Callable, Dict, List, Optional
 
 import jax
@@ -164,11 +165,31 @@ def train_epochs(
         imgs = {k: put[k] for k in imgs} if isinstance(imgs, dict) else put["imgs"]
         return imgs, labels, extra, n_valid
 
+    # Epoch-spanning producer stream: the fast loaders can chain all epochs'
+    # batch lists through one worker pool (iter_epochs), so the decode
+    # threads and prefetch depth stay hot across epoch boundaries instead of
+    # paying a cold producer refill (~150-250 ms) per epoch. Batches are a
+    # pure function of (seed, epoch, idx), so this is result-identical to
+    # per-epoch iteration — including after a mid-task resume at start_epoch.
+    span_stream = None
+    if hasattr(loader, "iter_epochs") and num_epochs - start_epoch > 1:
+        span_stream = iter(
+            prefetch_to_device(
+                loader.iter_epochs(start_epoch, num_epochs - start_epoch),
+                size=2,
+                put_fn=_prepare,
+            )
+        )
+        batches_per_epoch = len(loader)
+
     for epoch in range(start_epoch, num_epochs):
         loader.set_epoch(epoch)
-        for imgs, labels, extra, n_valid in prefetch_to_device(
-            loader, size=2, put_fn=_prepare
-        ):
+        epoch_iter = (
+            itertools.islice(span_stream, batches_per_epoch)
+            if span_stream is not None
+            else prefetch_to_device(loader, size=2, put_fn=_prepare)
+        )
+        for imgs, labels, extra, n_valid in epoch_iter:
             rng_key, step_key = jax.random.split(rng_key)
             state, metrics = step_fn(state, prev_variables, imgs, labels, extra, step_key)
             meter.tick(n_valid)

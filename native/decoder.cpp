@@ -28,8 +28,15 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <list>
+#include <memory>
+#include <mutex>
+#include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
+
+#include <sys/stat.h>
 
 #if defined(__linux__)
 #include <sys/resource.h>
@@ -210,6 +217,136 @@ void bilinear_resize_t(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw,
 void bilinear_resize(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw, int dh) {
   bilinear_resize_t<3>(src, sw, sh, dst, dw, dh, 3);
 }
+
+// ---------------------------------------------------------------------------
+// Decoded-plane LRU cache. Training revisits the same JPEGs every epoch (the
+// reference's torch loader re-decodes them from scratch each time,
+// libs/loader/comix_loader.py:105-124); per-use geometry (MultiScaleCrop /
+// RandomCrop offsets) changes, but the *decoded planes* don't — so the cache
+// stores the stored-resolution YCbCr planes and each use replays only the
+// cheap windowed resize (~0.2 ms vs ~0.9 ms Huffman+IDCT+resize at 320x240).
+// Bounded by BDVC_DECODE_CACHE_MB (LRU eviction, default 512 MB ~ 4.6k
+// frames at UCF-101 geometry; 0 disables); entries are validated against the
+// file's mtime+size so an overwritten path is re-decoded, never served
+// stale. Thread-safe: the pool threads share one mutex-guarded index and
+// immutable shared_ptr entries.
+// ---------------------------------------------------------------------------
+
+struct PlaneEntry {
+  int w = 0, h = 0, ystride = 0, cstride = 0;
+  std::vector<uint8_t> y, cb, cr;
+  size_t bytes() const { return y.size() + cb.size() + cr.size(); }
+};
+
+class PlaneCache {
+ public:
+  static PlaneCache& instance() {
+    static PlaneCache cache;
+    return cache;
+  }
+
+  bool enabled() const { return budget_.load() > 0; }
+
+  void set_budget_mb(long mb) {
+    budget_.store(mb > 0 ? mb * 1024 * 1024 : 0);
+    std::lock_guard<std::mutex> g(mu_);
+    evict_locked();
+  }
+
+  std::shared_ptr<const PlaneEntry> get(const char* path) {
+    struct stat st;
+    if (stat(path, &st) != 0) return nullptr;
+    std::lock_guard<std::mutex> g(mu_);
+    auto it = map_.find(path);
+    if (it == map_.end()) {
+      ++misses_;
+      return nullptr;
+    }
+    Node& node = it->second;
+    if (node.mtime_ns != stamp(st) || node.size != st.st_size) {
+      bytes_ -= node.entry->bytes();
+      lru_.erase(node.pos);
+      map_.erase(it);
+      ++misses_;
+      return nullptr;
+    }
+    lru_.splice(lru_.begin(), lru_, node.pos);
+    ++hits_;
+    return node.entry;
+  }
+
+  void put(const char* path, const std::shared_ptr<const PlaneEntry>& entry) {
+    struct stat st;
+    if (stat(path, &st) != 0) return;
+    const size_t budget = budget_.load();
+    if (entry->bytes() > budget) return;
+    std::lock_guard<std::mutex> g(mu_);
+    auto it = map_.find(path);
+    if (it != map_.end()) {  // concurrent double-decode: last write wins
+      bytes_ -= it->second.entry->bytes();
+      lru_.erase(it->second.pos);
+      map_.erase(it);
+    }
+    lru_.emplace_front(path);
+    map_.emplace(lru_.front(), Node{entry, lru_.begin(), stamp(st),
+                                    static_cast<long>(st.st_size)});
+    bytes_ += entry->bytes();
+    evict_locked();
+  }
+
+  void clear() {
+    std::lock_guard<std::mutex> g(mu_);
+    map_.clear();
+    lru_.clear();
+    bytes_ = 0;
+    hits_ = 0;
+    misses_ = 0;
+  }
+
+  void stats(long* hits, long* misses, long* bytes, long* entries) {
+    std::lock_guard<std::mutex> g(mu_);
+    if (hits) *hits = hits_;
+    if (misses) *misses = misses_;
+    if (bytes) *bytes = static_cast<long>(bytes_);
+    if (entries) *entries = static_cast<long>(map_.size());
+  }
+
+ private:
+  struct Node {
+    std::shared_ptr<const PlaneEntry> entry;
+    std::list<std::string>::iterator pos;
+    long mtime_ns;
+    long size;
+  };
+
+  PlaneCache() {
+    long mb = 512;
+    if (const char* env = std::getenv("BDVC_DECODE_CACHE_MB")) mb = std::atol(env);
+    budget_.store(mb > 0 ? mb * 1024 * 1024 : 0);
+  }
+
+  static long stamp(const struct stat& st) {
+    return static_cast<long>(st.st_mtim.tv_sec) * 1000000000L + st.st_mtim.tv_nsec;
+  }
+
+  void evict_locked() {
+    const size_t budget = budget_.load();
+    while (bytes_ > budget && !lru_.empty()) {
+      auto vit = map_.find(lru_.back());
+      bytes_ -= vit->second.entry->bytes();
+      map_.erase(vit);
+      lru_.pop_back();
+    }
+  }
+
+  std::atomic<size_t> budget_{0};
+  std::mutex mu_;
+  std::unordered_map<std::string, Node> map_;
+  std::list<std::string> lru_;
+  size_t bytes_ = 0;
+  long hits_ = 0;
+  long misses_ = 0;
+};
 
 // Windowed variant: compute ONLY the [ox, ox+ow) x [oy, oy+oh) region of the
 // (dw, dh) resize of src — the same half-pixel-center sampling grid as
@@ -473,6 +610,18 @@ extern "C" {
 
 int bdvc_version() { return 1; }
 
+// Decoded-plane cache control (see PlaneCache above). Stats are cumulative
+// since process start / last clear; bytes+entries reflect current residency.
+void bdvc_cache_stats(long* hits, long* misses, long* bytes, long* entries) {
+  PlaneCache::instance().stats(hits, misses, bytes, entries);
+}
+
+void bdvc_cache_clear() { PlaneCache::instance().clear(); }
+
+// Runtime budget override (MB; <=0 disables and flushes). The initial budget
+// comes from BDVC_DECODE_CACHE_MB (default 512).
+void bdvc_cache_set_budget_mb(long mb) { PlaneCache::instance().set_budget_mb(mb); }
+
 // Full decode of one file into caller buffer (capacity cap bytes). Returns 0
 // on success, -1 decode failure, -2 buffer too small.
 int bdvc_decode_file(const char* path, uint8_t* out, long cap, int* w, int* h) {
@@ -699,9 +848,11 @@ int bdvc_decode_yuv420_batch(const char** paths, int n, const int* resize_w,
   const size_t y_bytes = static_cast<size_t>(out_size) * out_size;
   const size_t c_bytes = static_cast<size_t>(half) * half * 2;
 
+  PlaneCache& cache = PlaneCache::instance();
+
   auto worker = [&]() {
     set_decode_thread_priority();
-    std::vector<uint8_t> ybuf, cbbuf, crbuf, s1, s2, s3;
+    std::vector<uint8_t> s1, s2, s3;
     while (true) {
       const int i = next.fetch_add(1);
       if (i >= n || failed.load() != 0) break;
@@ -715,17 +866,28 @@ int bdvc_decode_yuv420_batch(const char** paths, int n, const int* resize_w,
       if (cx < 0) cx = 0;
       if (cy < 0) cy = 0;
 
-      int w = 0, h = 0, ystride = 0, cstride = 0;
-      if (decode_jpeg_raw420(paths[i], ybuf, cbbuf, crbuf, w, h, ystride, cstride)) {
-        resize_plane_window(ybuf.data(), w, h, ystride, rw, rh, cx, cy, out_size,
-                            out_y + static_cast<size_t>(i) * y_bytes, 1, s1, s2);
+      std::shared_ptr<const PlaneEntry> ent;
+      if (cache.enabled()) ent = cache.get(paths[i]);
+      if (!ent) {
+        auto fresh = std::make_shared<PlaneEntry>();
+        if (decode_jpeg_raw420(paths[i], fresh->y, fresh->cb, fresh->cr,
+                               fresh->w, fresh->h, fresh->ystride, fresh->cstride)) {
+          if (cache.enabled()) cache.put(paths[i], fresh);
+          ent = std::move(fresh);
+        }
+      }
+      if (ent) {
+        const int w = ent->w, h = ent->h;
+        resize_plane_window(ent->y.data(), w, h, ent->ystride, rw, rh, cx, cy,
+                            out_size, out_y + static_cast<size_t>(i) * y_bytes, 1,
+                            s1, s2);
         const int cw = (w + 1) / 2, chh = (h + 1) / 2;
         const int rw2 = (rw + 1) / 2, rh2 = (rh + 1) / 2;
         uint8_t* cdst = out_c + static_cast<size_t>(i) * c_bytes;
-        resize_plane_window(cbbuf.data(), cw, chh, cstride, rw2, rh2, cx / 2,
-                            cy / 2, half, cdst, 2, s1, s2);
-        resize_plane_window(crbuf.data(), cw, chh, cstride, rw2, rh2, cx / 2,
-                            cy / 2, half, cdst + 1, 2, s1, s2);
+        resize_plane_window(ent->cb.data(), cw, chh, ent->cstride, rw2, rh2,
+                            cx / 2, cy / 2, half, cdst, 2, s1, s2);
+        resize_plane_window(ent->cr.data(), cw, chh, ent->cstride, rw2, rh2,
+                            cx / 2, cy / 2, half, cdst + 1, 2, s1, s2);
       } else if (!rgb_window_to_yuv420(paths[i], rw, rh, cx, cy, out_size,
                                        out_y + static_cast<size_t>(i) * y_bytes,
                                        out_c + static_cast<size_t>(i) * c_bytes,

@@ -87,6 +87,31 @@ def test_fast_loader_reproducible(fast_env):
 
 
 @needs_native
+def test_iter_epochs_matches_per_epoch_iteration(fast_env):
+    """The epoch-spanning producer stream must be batch-for-batch identical
+    to iterating epoch by epoch (batch content is a pure function of
+    (seed, epoch, idx) carried per work item)."""
+    ds, bg_files = fast_env
+    mk = lambda w: FastBGMixLoader(
+        ds.video_infos, bg_files, batch_size=2, num_segments=4, seed=5,
+        randaug_prob=0.5, num_workers=w,
+    )
+    loader = mk(1)
+    per_epoch = []
+    for e in range(3):
+        loader.set_epoch(e)
+        per_epoch.extend(list(loader))
+    for workers in (1, 2):
+        spanned = list(mk(workers).iter_epochs(0, 3))
+        assert len(spanned) == len(per_epoch)
+        for a, b in zip(spanned, per_epoch):
+            for k in ("label", "apply_bgmix", "randaug_key"):
+                np.testing.assert_array_equal(a[k], b[k])
+            pix = "imgs_y" if "imgs_y" in a else "imgs_u8"
+            np.testing.assert_array_equal(a[pix], b[pix])
+
+
+@needs_native
 @pytest.mark.slow
 def test_fast_path_train_step(fast_env):
     from bdvcil_tpu.models import build_model, init_model_params

@@ -157,6 +157,94 @@ def test_decode_failure_reports_index(jpegs420, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# decoded-plane LRU cache (native/decoder.cpp PlaneCache)
+# ---------------------------------------------------------------------------
+
+
+needs_cache = pytest.mark.skipif(
+    not (native.available() and native.decode_cache_stats() is not None),
+    reason="native decoder without plane cache",
+)
+
+
+@pytest.fixture
+def plane_cache():
+    """Fresh, enabled cache for the test; restore the default budget after."""
+    native.decode_cache_set_budget_mb(512)
+    native.decode_cache_clear()
+    yield
+    native.decode_cache_set_budget_mb(512)
+    native.decode_cache_clear()
+
+
+@needs_cache
+def test_cache_warm_hits_are_bit_identical(jpegs420, plane_cache):
+    """Epoch 2+ replays the windowed resize from cached planes — outputs
+    must match the uncached decode bit for bit at real train geometry."""
+    dims = np.array([[292, 292], [342, 256], [288, 230]], dtype=np.int32)
+    crops = [(10, 20), (64, 8), (0, 0)]
+    native.decode_cache_set_budget_mb(0)  # uncached baseline
+    y0, c0 = native.decode_yuv420_batch(jpegs420, dims, 224, crops)
+    native.decode_cache_set_budget_mb(512)
+    y1, c1 = native.decode_yuv420_batch(jpegs420, dims, 224, crops)  # cold fill
+    y2, c2 = native.decode_yuv420_batch(jpegs420, dims, 224, crops)  # warm
+    np.testing.assert_array_equal(y0, y1)
+    np.testing.assert_array_equal(c0, c1)
+    np.testing.assert_array_equal(y0, y2)
+    np.testing.assert_array_equal(c0, c2)
+    stats = native.decode_cache_stats()
+    assert stats["hits"] >= len(jpegs420)
+    assert stats["entries"] == len(jpegs420)
+
+
+@needs_cache
+def test_cache_invalidates_on_overwrite(tmp_path, plane_cache):
+    """A path rewritten with new content must be re-decoded (mtime+size
+    validation), never served stale."""
+    rng = np.random.default_rng(11)
+    p = str(tmp_path / "mut.jpg")
+    dims = np.array([[240, 180]], dtype=np.int32)
+    cv2.imwrite(p, _smooth_img(rng, 180, 240), [cv2.IMWRITE_JPEG_QUALITY, 95])
+    y_a, _ = native.decode_yuv420_batch([p], dims, 128, [(0, 0)])
+    import time
+
+    time.sleep(0.01)  # ensure a distinct mtime stamp
+    cv2.imwrite(p, _smooth_img(rng, 180, 240), [cv2.IMWRITE_JPEG_QUALITY, 95])
+    y_b, _ = native.decode_yuv420_batch([p], dims, 128, [(0, 0)])
+    assert not np.array_equal(y_a, y_b)
+    native.decode_cache_set_budget_mb(0)
+    native.decode_cache_set_budget_mb(512)
+    y_ref, _ = native.decode_yuv420_batch([p], dims, 128, [(0, 0)])
+    np.testing.assert_array_equal(y_b, y_ref)
+
+
+@needs_cache
+def test_cache_respects_byte_budget(tmp_path, plane_cache):
+    """Residency stays under the configured budget via LRU eviction."""
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(12):  # 12 x (320x240 planes ~ 115 KB) >> 1 MB budget
+        p = str(tmp_path / f"b{i}.jpg")
+        cv2.imwrite(p, _smooth_img(rng, 240, 320), [cv2.IMWRITE_JPEG_QUALITY, 95])
+        paths.append(p)
+    native.decode_cache_set_budget_mb(1)
+    dims = np.tile(np.array([[320, 240]], dtype=np.int32), (len(paths), 1))
+    native.decode_yuv420_batch(paths, dims, 224, [(0, 0)] * len(paths))
+    stats = native.decode_cache_stats()
+    assert 0 < stats["bytes"] <= 1 * 1024 * 1024
+    assert 0 < stats["entries"] < len(paths)
+
+
+@needs_cache
+def test_cache_disable_keeps_nothing(jpegs420, plane_cache):
+    native.decode_cache_set_budget_mb(0)
+    dims = np.array([[256, 256]], dtype=np.int32)
+    native.decode_yuv420_batch(jpegs420[:1], dims, 128, [(0, 0)])
+    stats = native.decode_cache_stats()
+    assert stats["entries"] == 0 and stats["bytes"] == 0
+
+
+# ---------------------------------------------------------------------------
 # loader + jitted input_fn integration
 # ---------------------------------------------------------------------------
 

@@ -119,23 +119,22 @@ def run_mode(mode, step, state, make_loader, steps, batch):
     n = 0
     loader = make_loader(num_workers=int(os.environ.get("PROFILE_WORKERS", "1")))
 
+    # enough chained epochs to cover `steps` in ONE producer stream (the
+    # epoch-spanning fast path production uses); epoch boundaries no longer
+    # tear down the worker pool
+    epochs_needed = -(-steps // max(1, len(loader))) + 1
     if mode == "prefetch":
         from bdvcil_tpu.runtime.loops import prefetch_to_device
 
-        src = prefetch_to_device(iter(loader), size=2)
+        src = prefetch_to_device(loader.iter_epochs(0, epochs_needed), size=2)
     else:
-        src = iter(loader)
+        src = loader.iter_epochs(0, epochs_needed)
 
     t_start = time.perf_counter()
     it = iter(src)
     while n < steps:
         t0 = time.perf_counter()
-        try:
-            b = next(it)
-        except StopIteration:
-            loader.set_epoch(loader.epoch + 1)
-            it = iter(prefetch_to_device(iter(loader), size=2)) if mode == "prefetch" else iter(loader)
-            continue
+        b = next(it)
         t1 = time.perf_counter()
         stats["wait"] += t1 - t0
 
@@ -170,6 +169,13 @@ def run_mode(mode, step, state, make_loader, steps, batch):
             nb = PRODUCER_STATS.pop("batches", 0.0) or 1.0
             out["producer_ms"] = {k: round(v / nb * 1000, 1) for k, v in PRODUCER_STATS.items()}
             PRODUCER_STATS.clear()
+        from bdvcil_tpu.data import native
+
+        cache = native.decode_cache_stats()
+        if cache:
+            total = cache["hits"] + cache["misses"]
+            out["decode_cache"] = {**cache,
+                                   "hit_rate": round(cache["hits"] / total, 3) if total else 0.0}
     print(json.dumps(out))
     return state
 
