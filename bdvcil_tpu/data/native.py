@@ -142,12 +142,15 @@ def default_threads(share: int = 1) -> int:
     """Decode-pool size when the caller passes num_threads<=0.
 
     ``os.cpu_count()`` under-reports inside cgroup-limited containers (this
-    dev box reports 1 while its quota sustains ~4-5 cores — PERF_NOTES
-    "Host decode scaling": 1 thread = 74 frames/s, 8 threads = 372), and a
-    TPU host's decode demand (~24 cores for one v5e chip at the device-bound
-    rate) exceeds a min(8, ...) cap. Decode threads mix I/O with compute, so
-    mild oversubscription is cheap: floor at 8, follow the affinity mask /
-    cpu count above that, and let BDVC_DECODE_THREADS override everything.
+    dev box reports 1 while its quota sustains ~4-5 cores), so a reported
+    count <= 2 is treated as "unknown, assume a ~4-core quota". The floor is
+    4, NOT higher: the decode pool competes with the latency-critical
+    device_put / dispatch path for the same quota, and oversubscribing it
+    measurably LOSES end to end once the decoded-plane cache makes warm
+    epochs cheap (PERF_NOTES "Round 3": e2e 76.6 clips/s at 4 threads vs
+    68.1 at 8 on this box; cold decode itself peaks near 2 threads). Hosts
+    with a truthful affinity mask (real v5e VMs report ~26 vCPU/chip) size
+    by the mask, and BDVC_DECODE_THREADS overrides everything.
 
     ``share``: number of concurrent decode call sites that will each size a
     pool this way (the fast loaders pass their ``num_workers``) — the budget
@@ -161,7 +164,9 @@ def default_threads(share: int = 1) -> int:
         n = len(os.sched_getaffinity(0))
     except AttributeError:  # non-Linux
         n = os.cpu_count() or 1
-    return max(1, max(8, n) // max(1, share))
+    if n <= 2:  # cgroup quota hidden from the affinity mask
+        n = 4
+    return max(1, n // max(1, share))
 
 
 def decode_file(path: str, max_bytes: int = 64 * 1024 * 1024) -> np.ndarray:
