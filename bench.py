@@ -22,6 +22,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Persistent XLA compile cache: first full-step compile over the tunneled
+# transport costs 5-10 min; reruns hit the cache. Opt out by setting the
+# var to an empty string.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+
 BASELINE_CLIPS_PER_SEC_PER_CHIP = 15.0
 
 
@@ -182,9 +187,16 @@ def bench_train_e2e(print_json=True):
         jax.block_until_ready(state.params)
         return n
 
-    run_epochs(0, 1)  # warm (compile + decoded-plane cache fill)
+    # warm (compile + decoded-plane cache fill), then measure enough epochs
+    # for >=40 steady-state steps: short windows (the old 2-epoch/8-step
+    # measurement) swing 30-50% from cgroup CPU-quota scheduling noise,
+    # while 40-step windows reproduce within a few percent (PERF_NOTES
+    # "Round 3: e2e").
+    steps_per_epoch = max(1, len(loader))
+    measure_epochs = max(2, -(-int(os.environ.get("BENCH_E2E_STEPS", "40")) // steps_per_epoch))
+    run_epochs(0, 1)
     t0 = time.perf_counter()
-    clips = run_epochs(1, 2)
+    clips = run_epochs(1, measure_epochs)
     dt = time.perf_counter() - t0
     rate = clips / dt / max(1, jax.device_count())
 
