@@ -41,6 +41,7 @@ interpret mode on CPU.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -135,6 +136,35 @@ def _conv3x3_affine_stats_kernel(x_ref, a_ref, b_ref, w_ref, y_ref, s1_ref, s2_r
     s2_ref[0, 0, :] = jnp.sum(yf * yf, axis=0)
 
 
+def _conv3x3_im2col_affine_stats_kernel(x_ref, a_ref, b_ref, w_ref, y_ref, s1_ref, s2_ref):
+    """Same op as `_conv3x3_affine_stats_kernel`, but the nine shifted tap
+    views are concatenated along channels into one (bn*h*w, 9k) im2col
+    matrix feeding a SINGLE MXU dot with K=9k — trades one extra VMEM
+    buffer for full-depth MXU utilization (K=64 runs the 128-lane array
+    half empty; K=576 fills it).
+    """
+    bn, h, w_, k = x_ref.shape
+    n = w_ref.shape[-1]
+    xf = x_ref[:].astype(jnp.float32)
+    a = a_ref[0, 0, :].astype(jnp.float32)
+    b = b_ref[0, 0, :].astype(jnp.float32)
+    xh = jnp.maximum(xf * a + b, 0.0).astype(x_ref.dtype)
+    xp = jnp.pad(xh, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    taps = [
+        xp[:, dy : dy + h, dx : dx + w_, :]
+        for dy in range(3)
+        for dx in range(3)
+    ]
+    col = jnp.concatenate(taps, axis=-1).reshape(bn * h * w_, 9 * k)
+    y = jnp.dot(
+        col, w_ref[:].reshape(9 * k, n), preferred_element_type=jnp.float32
+    ).astype(y_ref.dtype)
+    y_ref[:] = y.reshape(bn, h, w_, n)
+    yf = y.astype(jnp.float32)
+    s1_ref[0, 0, :] = jnp.sum(yf, axis=0)
+    s2_ref[0, 0, :] = jnp.sum(yf * yf, axis=0)
+
+
 def _call_stats(kernel, inputs, nt, h, w_, n, tile, interpret, extra_in_specs):
     grid = nt // tile
     y, s1p, s2p = pl.pallas_call(
@@ -157,10 +187,17 @@ def _call_stats(kernel, inputs, nt, h, w_, n, tile, interpret, extra_in_specs):
     return y, jnp.sum(s1p, axis=(0, 1)), jnp.sum(s2p, axis=(0, 1))
 
 
+def _gemm_row_tile(nt, h, w_, k, n):
+    # same compiler-calibrated scoped-VMEM accounting as the 3x3 kernel
+    per_row = 4 * (h * w_ * k + h * w_ * n) * 3
+    budget = int(os.environ.get("BLOCK_VMEM_BUDGET_MB", "14")) << 20
+    return _row_tile(nt, per_row, budget=budget)
+
+
 def conv1x1_stats(x, w, interpret=False):
     nt, h, w_, k = x.shape
     n = w.shape[-1]
-    tile = _row_tile(nt, h * w_ * (k + n) * x.dtype.itemsize)
+    tile = _gemm_row_tile(nt, h, w_, k, n)
     return _call_stats(
         _plain_stats_gemm_kernel,
         (x, w),
@@ -172,7 +209,7 @@ def conv1x1_stats(x, w, interpret=False):
 def conv1x1_affine_relu_stats(x, a, b, w, interpret=False):
     nt, h, w_, k = x.shape
     n = w.shape[-1]
-    tile = _row_tile(nt, h * w_ * (k + n) * x.dtype.itemsize)
+    tile = _gemm_row_tile(nt, h, w_, k, n)
     a3 = a.reshape(1, 1, k).astype(jnp.float32)
     b3 = b.reshape(1, 1, k).astype(jnp.float32)
     return _call_stats(
@@ -187,16 +224,31 @@ def conv1x1_affine_relu_stats(x, a, b, w, interpret=False):
     )
 
 
-def conv3x3_affine_relu_stats(x, a, b, w, interpret=False):
+def conv3x3_affine_relu_stats(x, a, b, w, interpret=False, variant="taps"):
     nt, h, w_, k = x.shape
     n = w.shape[-1]
-    # padded plane (f32 prologue) + f32 accumulator dominate VMEM here
-    per_row = (h + 2) * (w_ + 2) * k * 4 + h * w_ * n * 4 + h * w_ * (k + n) * x.dtype.itemsize
-    tile = _row_tile(nt, per_row, budget=10 << 20)
+    # Scoped-VMEM estimate, calibrated against the TPU compiler's stack
+    # accounting (v5e reports ~9.1 MB/row at 56x56x64: f32 prologue plane,
+    # padded plane, f32 accumulator, stats epilogue, double-buffered I/O) —
+    # the analytic sum of live intermediates underestimates ~3.7x, so use
+    # the compiler-observed figure. At the default 16 MB scoped limit this
+    # yields tile=1 for layer1 geometry; raise the budget only together with
+    # XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib.
+    per_row = 4 * ((h + 2) * (w_ + 2) * k + h * w_ * k + 2 * h * w_ * n) * 3
+    if variant == "im2col":
+        # col matrix (h*w, 9k) bf16 + the nine materialized tap slices
+        per_row += (9 * h * w_ * k) * 2 * 2
+    budget = int(os.environ.get("BLOCK_VMEM_BUDGET_MB", "14")) << 20
+    tile = _row_tile(nt, per_row, budget=budget)
     a3 = a.reshape(1, 1, k).astype(jnp.float32)
     b3 = b.reshape(1, 1, k).astype(jnp.float32)
+    kernel = (
+        _conv3x3_im2col_affine_stats_kernel
+        if variant == "im2col"
+        else _conv3x3_affine_stats_kernel
+    )
     return _call_stats(
-        _conv3x3_affine_stats_kernel,
+        kernel,
         (x, a3, b3, w),
         nt, h, w_, n, tile, interpret,
         [
@@ -214,7 +266,10 @@ def _finalize(s1, s2, count, gamma, beta, eps):
     return inv, beta - mean * inv
 
 
-def fused_bottleneck_fwd(x, p: BlockParams, eps: float = 1e-5, interpret: bool = False):
+def fused_bottleneck_fwd(
+    x, p: BlockParams, eps: float = 1e-5, interpret: bool = False,
+    conv3x3_variant: str = "taps",
+):
     """Training-mode (batch-stats) bottleneck forward as 3 fused Pallas
     passes + 1 XLA elementwise pass. Returns (out, (mean, var) per BN) —
     the stats tuple is what a full integration would feed the running
@@ -226,7 +281,9 @@ def fused_bottleneck_fwd(x, p: BlockParams, eps: float = 1e-5, interpret: bool =
 
     y1, s1, q1 = conv1x1_stats(x, w1, interpret)
     a1, b1 = _finalize(s1, q1, cnt1, p.g1, p.b1, eps)
-    y2, s2, q2 = conv3x3_affine_relu_stats(y1, a1, b1, p.w2.astype(x.dtype), interpret)
+    y2, s2, q2 = conv3x3_affine_relu_stats(
+        y1, a1, b1, p.w2.astype(x.dtype), interpret, variant=conv3x3_variant
+    )
     a2, b2 = _finalize(s2, q2, cnt1, p.g2, p.b2, eps)
     y3, s3, q3 = conv1x1_affine_relu_stats(y2, a2, b2, w3, interpret)
     a3, b3 = _finalize(s3, q3, cnt1, p.g3, p.b3, eps)

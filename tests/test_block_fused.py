@@ -46,9 +46,10 @@ def test_conv1x1_stats_matches_xla(case):
     np.testing.assert_allclose(np.asarray(s2), (rf * rf).sum((0, 1, 2)), rtol=1e-5, atol=1e-3)
 
 
-def test_fused_block_matches_xla_block(case):
+@pytest.mark.parametrize("variant", ["taps", "im2col"])
+def test_fused_block_matches_xla_block(case, variant):
     x, p = case
-    out_f, stats_f = fused_bottleneck_fwd(x, p, interpret=True)
+    out_f, stats_f = fused_bottleneck_fwd(x, p, interpret=True, conv3x3_variant=variant)
     out_x, stats_x = xla_bottleneck_fwd(x, p)
     # bf16 outputs: identical math modulo f32-reduction reassociation in the
     # BN statistics -> allow 1 ulp of bf16 on the activations
