@@ -482,6 +482,8 @@ class CILTrainer:
             short_side=short_side,
             msc_scales=msc_scales,
             bg_short_side=int(getattr(ds, "bg_resize", 256)),
+            filename_tmpl=ds.filename_tmpl,
+            start_index=ds.start_index,
             randaug_prob=randaug_prob,
             with_randaug_mutex=bool(getattr(ds, "with_randAug", True)),
             bgmix_prob=float(getattr(ds, "prob", 0.25)),
@@ -521,6 +523,8 @@ class CILTrainer:
             batch_size=self.config.videos_per_gpu * self.data_module.world_size,
             num_segments=self.spec.num_segments,
             acm_prob=float(getattr(ds, "acm_prob", 1.0)),
+            filename_tmpl=ds.filename_tmpl,
+            start_index=ds.start_index,
             seed=self.seed,
             drop_last=False,  # see the FastBGMixLoader note above
             pad_to_batch=True,

@@ -785,7 +785,7 @@ class FastACMLoader(_EpochSpanMixin):
         det_thres: float = 0.4,
         acm_prob: float = 1.0,
         flip_ratio: float = 0.5,
-        max_boxes: int = 10,
+        max_boxes: int = None,  # None -> sized to the corpus's densest frame
         filename_tmpl: str = "img_{:05}.jpg",
         start_index: int = 1,
         shuffle: bool = True,
@@ -819,6 +819,19 @@ class FastACMLoader(_EpochSpanMixin):
         self.det_thres = det_thres
         self.acm_prob = acm_prob
         self.flip_ratio = flip_ratio
+        # static per-frame box capacity: the device mask kernel needs a fixed
+        # K, but truncating real detections would silently diverge from the
+        # reference's rasterize-every-box semantics — so default to the
+        # densest above-threshold frame in this corpus (>=1)
+        if max_boxes is None:
+            max_boxes = 1
+            for info in self.video_infos:
+                all_dets = info.get("all_detections") or {}
+                frames = all_dets.values() if hasattr(all_dets, "values") else all_dets
+                for dets in frames:
+                    if len(dets):
+                        d = np.asarray(dets, np.float32).reshape(-1, 5)
+                        max_boxes = max(max_boxes, int((d[:, -1] > det_thres).sum()))
         self.max_boxes = max_boxes
         self.filename_tmpl = filename_tmpl
         self.start_index = start_index
@@ -915,6 +928,10 @@ class FastACMLoader(_EpochSpanMixin):
                         self.filename_tmpl.format(int(scene_frame_inds[0])),
                     ),
                 ))
+                # drawn last so earlier draws keep their values; ACM rows'
+                # output is masked, but distinct keys keep the device
+                # equalize-bucket compaction from seeing B identical op draws
+                randaug_keys[row] = rng.integers(0, 2**32, size=2, dtype=np.uint32)
                 rows.append((row, info, frame_inds, rng, scene_info, scene_frame_inds))
             else:
                 randaug_keys[row] = rng.integers(0, 2**32, size=2, dtype=np.uint32)
@@ -988,7 +1005,9 @@ class FastACMLoader(_EpochSpanMixin):
             num_threads=self.num_threads,
         ).reshape(b, t, crop, crop, 3)
 
-        scene = imgs.copy()  # non-ACM rows: placeholder (masked out on device)
+        # non-ACM rows: deterministic placeholder, masked out on device
+        # (zeros: a memset, not a 19 MB memcpy of the frame tensor)
+        scene = np.zeros_like(imgs)
         if scene_rows:
             spaths = [p for _, paths in scene_rows for p in paths]
             sdims = np.tile(np.array([crop, crop], np.int32), (len(spaths), 1))
@@ -1033,6 +1052,7 @@ def make_fast_acm_input_fn(
     normalized clips, fully fused under jit. Non-ACM rows get RandAugment
     (prob 1, reference actor_cut_mix_loader.py:92-103); ACM rows get
     per-clip flips then the box-mask composite (ops/augment.acm_composite)."""
+    import jax
     import jax.numpy as jnp
 
     from ..ops.augment import acm_composite, normalize_batch
@@ -1041,8 +1061,14 @@ def make_fast_acm_input_fn(
     def input_fn(batch):
         imgs = batch["imgs_u8"]
 
-        augmented = rand_augment_batch(
-            batch["randaug_key"], imgs, n=randaug_n, m=randaug_m
+        # RandAugment only touches non-ACM rows; with acm_prob=1.0 (the
+        # reference default) every row is ACM, so skip the whole ~30 ms
+        # augment pass at runtime (both cond branches compile once)
+        augmented = jax.lax.cond(
+            jnp.any(batch["apply_randaug"]),
+            lambda keys, x: rand_augment_batch(keys, x, n=randaug_n, m=randaug_m),
+            lambda keys, x: x,
+            batch["randaug_key"], imgs,
         )
         sel_ra = batch["apply_randaug"][:, None, None, None, None]
         imgs_ra = jnp.where(sel_ra, augmented, imgs)

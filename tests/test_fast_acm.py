@@ -178,7 +178,9 @@ def test_fast_acm_loader_end_to_end(tmp_path):
             b = batch["imgs_u8"].shape[0]
             assert batch["imgs_u8"].shape == (4, 4, 32, 32, 3)
             assert batch["scene_u8"].shape == (4, 4, 32, 32, 3)
-            assert batch["actor_boxes"].shape == (4, 4, 10, 4)
+            # max_boxes auto-sizes to the corpus's densest frame (2 here)
+            assert loader.max_boxes == 2
+            assert batch["actor_boxes"].shape == (4, 4, loader.max_boxes, 4)
             np.testing.assert_array_equal(batch["apply_randaug"], ~batch["apply_acm"])
             for row in range(b):
                 if batch["apply_acm"][row]:
@@ -286,3 +288,96 @@ def test_cil_acm_fast_path_e2e(tmp_path_factory):
     assert type(loader).__name__ == "FastACMLoader" and input_fn is not None
     trainer.train()
     assert (work_dir / "ckpt" / "ckpt_task_1.msgpack").exists()
+
+
+def test_fast_acm_loader_zero_based_frames_and_dense_boxes(tmp_path):
+    """Regression (round-3 review): the loader honors non-default
+    filename_tmpl/start_index (0-based rawframe layouts must not probe a
+    missing last frame or read off-by-one detections), and max_boxes
+    auto-sizes past the old hard cap of 10 so no detection is silently
+    dropped from masks or foreground_ratio."""
+    pytest.importorskip("cv2")
+    import cv2
+
+    from bdvcil_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native decoder unavailable")
+
+    rng = np.random.default_rng(0)
+    h, w, num_frames = 48, 64, 5
+    vdir = tmp_path / "v0"
+    vdir.mkdir(parents=True)
+    for t in range(0, num_frames):  # 0-based, custom template
+        img = np.clip(100 + rng.integers(0, 55, (h, w, 3)), 0, 255).astype(np.uint8)
+        cv2.imwrite(str(vdir / f"frame_{t:03}.jpg"), img)
+    # frame 0 has 12 confident detections (old cap was 10)
+    dets = {fi: [[1.0, 1.0, 6.0, 6.0, 0.9]] for fi in range(num_frames)}
+    dets[0] = [
+        [float(x), 1.0, float(x + 3), 6.0, 0.9] for x in range(1, 48, 4)
+    ]
+    infos = [dict(frame_dir=str(vdir), total_frames=num_frames, label=0,
+                  all_detections=dets)]
+
+    loader = FastACMLoader(
+        infos, batch_size=1, num_segments=num_frames, crop_size=32,
+        acm_prob=1.0, filename_tmpl="frame_{:03}.jpg", start_index=0,
+        seed=0, drop_last=False, pad_to_batch=False,
+        process_index=0, process_count=1,
+    )
+    assert loader.max_boxes == 12
+    # num_segments == total_frames -> every frame (incl. 0 and last) decodes
+    batch = next(iter(loader))
+    assert batch["imgs_u8"].shape == (1, num_frames, 32, 32, 3)
+    assert batch["actor_boxes"].shape == (1, num_frames, 12, 4)
+    # all 12 boxes of frame 0 survive into the tensor (none truncated)
+    n_emitted = (batch["actor_boxes"][0, 0].sum(axis=-1) > 0).sum()
+    assert n_emitted == 12
+
+
+def test_trainer_forwards_frame_layout_to_fast_loaders(tmp_path_factory):
+    """cil/trainer must pass the dataset's filename_tmpl/start_index through
+    to both fast loaders (round-3 review finding)."""
+    from bdvcil_tpu.cil import CILTrainer
+    from bdvcil_tpu.config import Config
+    from bdvcil_tpu.data import native
+    from tests.test_cil_e2e import make_acm_cil_config
+
+    if not native.available():
+        pytest.skip("native decoder unavailable")
+    pytest.importorskip("cv2")
+    import cv2
+
+    root = tmp_path_factory.mktemp("acm_layout")
+    frames_root = root / "rawframes"
+    rng = np.random.default_rng(1)
+    lines = []
+    for v in range(6):
+        vdir = frames_root / f"v{v}"
+        vdir.mkdir(parents=True)
+        for t in range(0, 6):
+            img = np.clip(90 + rng.integers(0, 60, (48, 64, 3)), 0, 255).astype(np.uint8)
+            cv2.imwrite(str(vdir / f"f_{t:04}.jpg"), img)
+        lines.append(f"v{v} 6 {v % 3}")
+    (root / "train.txt").write_text("\n".join(lines) + "\n")
+    (root / "val.txt").write_text("\n".join(lines) + "\n")
+    dets = {f"v{v}": {t: np.array([[2.0, 2.0, 30.0, 30.0, 0.9]], np.float32)
+                      for t in range(6)} for v in range(6)}
+    det_file = root / "dets.npy"
+    np.save(det_file, dets, allow_pickle=True)
+
+    work_dir = tmp_path_factory.mktemp("work_acm_layout")
+    cfg_dict = make_acm_cil_config(
+        frames_root, root / "train.txt", root / "val.txt", det_file, work_dir,
+        use_fast_input_pipeline=True,
+    )
+    for split in ("train", "val", "test", "features_extraction", "exemplar"):
+        cfg_dict["data"][split]["filename_tmpl"] = "f_{:04}.jpg"
+        cfg_dict["data"][split]["start_index"] = 0
+    trainer = CILTrainer(Config.fromdict(cfg_dict))
+    loader, input_fn = trainer._try_fast_loader()
+    assert type(loader).__name__ == "FastACMLoader"
+    assert loader.filename_tmpl == "f_{:04}.jpg" and loader.start_index == 0
+    # a batch decodes without probing a nonexistent 1-based frame
+    batch = next(iter(loader))
+    assert batch["imgs_u8"].dtype == np.uint8
