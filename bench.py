@@ -27,6 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # var to an empty string.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
 
+# Honor an explicit CPU request (smoke-testing the bench off-chip): some
+# images register a TPU plugin whose get_backend hook wins over the
+# JAX_PLATFORMS env var in-process, so pin the platform via jax.config too.
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    import jax as _jax_cfg
+
+    _jax_cfg.config.update("jax_platforms", "cpu")
+
 BASELINE_CLIPS_PER_SEC_PER_CHIP = 15.0
 
 
@@ -82,6 +90,34 @@ def bench_input():
     )
 
 
+def _ensure_bench_corpus(num_videos, frames_per_video=16):
+    """Build (once) the synthetic UCF-101-shaped rawframe corpus + TMF
+    backgrounds shared by the e2e bench modes; returns its root dir."""
+    import pathlib
+
+    import cv2
+    import numpy as np
+
+    from bdvcil_tpu.data.datasets import bg_extraction_tmf
+
+    root = pathlib.Path("/tmp/bdvc_bench_data")
+    marker = root / f".ok_{num_videos}"
+    if not marker.exists():
+        rng = np.random.default_rng(0)
+        bg_dir = root / "bg"
+        bg_dir.mkdir(parents=True, exist_ok=True)
+        for v in range(num_videos):
+            vdir = root / "rawframes" / f"v{v:04d}"
+            vdir.mkdir(parents=True, exist_ok=True)
+            base = rng.integers(0, 200, 3)
+            for t in range(1, frames_per_video + 1):
+                img = np.clip(base + rng.integers(0, 55, (240, 320, 3)), 0, 255).astype(np.uint8)
+                cv2.imwrite(str(vdir / f"img_{t:05d}.jpg"), img)
+            bg_extraction_tmf(vdir, bg_dir / f"v{v:04d}.jpg")
+        marker.touch()
+    return root
+
+
 def bench_train_e2e(print_json=True):
     """BENCH_MODE=train_e2e — end-to-end training throughput including the
     input pipeline: synthetic UCF-101-shaped rawframes -> native C++ decode ->
@@ -92,15 +128,11 @@ def bench_train_e2e(print_json=True):
     not the device bound (~155 clips/s, BENCH_MODE=train). Real v5e host VMs
     have >100 vCPUs per 4 chips; the C++ decode pool scales linearly with
     cores while the per-clip decode demand stays fixed."""
-    import pathlib
     import time
 
-    import cv2
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
-    from bdvcil_tpu.data.datasets import bg_extraction_tmf
     from bdvcil_tpu.data.device_pipeline import FastBGMixLoader, make_fast_input_fn
     from bdvcil_tpu.models import build_model, init_model_params
     from bdvcil_tpu.optim import build_optimizer
@@ -111,22 +143,7 @@ def bench_train_e2e(print_json=True):
     num_videos = int(os.environ.get("BENCH_VIDEOS", "64"))
     frames_per_video = 16
 
-    root = pathlib.Path("/tmp/bdvc_bench_data")
-    marker = root / f".ok_{num_videos}"
-    if not marker.exists():
-        rng = np.random.default_rng(0)
-        bg_dir = root / "bg"
-        bg_dir.mkdir(parents=True, exist_ok=True)
-        infos = []
-        for v in range(num_videos):
-            vdir = root / "rawframes" / f"v{v:04d}"
-            vdir.mkdir(parents=True, exist_ok=True)
-            base = rng.integers(0, 200, 3)
-            for t in range(1, frames_per_video + 1):
-                img = np.clip(base + rng.integers(0, 55, (240, 320, 3)), 0, 255).astype(np.uint8)
-                cv2.imwrite(str(vdir / f"img_{t:05d}.jpg"), img)
-            bg_extraction_tmf(vdir, bg_dir / f"v{v:04d}.jpg")
-        marker.touch()
+    root = _ensure_bench_corpus(num_videos, frames_per_video)
     video_infos = [
         dict(frame_dir=str(root / "rawframes" / f"v{v:04d}"), total_frames=frames_per_video, label=v % 51)
         for v in range(num_videos)
@@ -235,6 +252,107 @@ def bench_train_e2e(print_json=True):
             )
         )
     return extras
+
+
+def bench_train_e2e_acm(print_json=True):
+    """BENCH_MODE=train_e2e_acm — end-to-end training throughput for the
+    ActorCutMix family: native decode of BOTH the actor and scene clips
+    (2x the BGMix family's decode demand at acm_prob=1), human boxes carried
+    through the reference geometry chain on host, mask/cutout/composite
+    fused on device (ops/augment.acm_composite), TSM-R50 train step.
+    Reference being replaced: the PIL/numpy chain in
+    actor_cut_mix_loader.py:117-152 feeding the torch step."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from bdvcil_tpu.data.device_pipeline import FastACMLoader, make_fast_acm_input_fn
+    from bdvcil_tpu.models import build_model, init_model_params
+    from bdvcil_tpu.optim import build_optimizer
+    from bdvcil_tpu.runtime import TrainState, make_train_step
+    from bdvcil_tpu.runtime.loops import prefetch_to_device
+
+    num_segments = 8
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    num_videos = int(os.environ.get("BENCH_VIDEOS", "64"))
+    frames_per_video = 16
+
+    # reuse bench_train_e2e's synthetic UCF-shaped corpus; detections are
+    # two stable person-sized boxes per frame (dense enough to rasterize)
+    root = _ensure_bench_corpus(num_videos, frames_per_video)
+    dets = {
+        fi: [[40.0, 30.0, 200.0, 170.0, 0.9], [120.0, 60.0, 300.0, 230.0, 0.8]]
+        for fi in range(1, frames_per_video + 1)
+    }
+    video_infos = [
+        dict(frame_dir=str(root / "rawframes" / f"v{v:04d}"),
+             total_frames=frames_per_video, label=v % 51, all_detections=dets)
+        for v in range(num_videos)
+    ]
+
+    model_cfg = dict(
+        type="CILRecognizer2D",
+        backbone=dict(type="ResNetTSM", depth=50, num_segments=num_segments, shift_div=8),
+        cls_head=dict(
+            type="IncrementalTSMHead",
+            num_classes=51,
+            in_channels=2048,
+            inc_head_config=dict(type="LocalSimilarityClassifier", out_features=51, nb_proxies=1),
+            num_segments=num_segments,
+            loss_cls=dict(type="LSCLoss"),
+            dropout_ratio=0.5,
+        ),
+        test_cfg=dict(average_clips="prob"),
+    )
+    spec = build_model(model_cfg, dtype=jnp.bfloat16)
+    variables = init_model_params(spec, jax.random.PRNGKey(0), (1, num_segments, 224, 224, 3))
+    tx = build_optimizer(
+        variables["params"],
+        dict(type="SGD", paramwise_cfg=dict(fc_lr_scale_factor=5.0), lr=0.01,
+             momentum=0.9, weight_decay=1e-4),
+        steps_per_epoch=100,
+    )
+    loader = FastACMLoader(
+        video_infos, batch_size=batch, num_segments=num_segments,
+        acm_prob=1.0, seed=0, drop_last=True, prefetch=2,
+        num_workers=int(os.environ.get("BENCH_WORKERS", "1")),
+        process_index=0, process_count=1,
+    )
+    input_fn = make_fast_acm_input_fn(dtype=jnp.bfloat16)
+    step = make_train_step(spec, tx, num_classes=51, method="base", input_fn=input_fn)
+    state = TrainState.create(variables, tx)
+    key = jax.random.PRNGKey(0)
+
+    def run_epochs(first, count):
+        nonlocal state, key
+        n = 0
+        for b in prefetch_to_device(loader.iter_epochs(first, count), size=2):
+            imgs = {k: v for k, v in b.items()
+                    if k not in ("label", "foreground_ratio", "background_label")}
+            key, sk = jax.random.split(key)
+            state, metrics = step(state, None, imgs, b["label"], {}, sk)
+            n += batch
+        jax.block_until_ready(state.params)
+        return n
+
+    steps_per_epoch = max(1, len(loader))
+    measure_epochs = max(2, -(-int(os.environ.get("BENCH_E2E_STEPS", "40")) // steps_per_epoch))
+    run_epochs(0, 1)
+    t0 = time.perf_counter()
+    clips = run_epochs(1, measure_epochs)
+    dt = time.perf_counter() - t0
+    rate = clips / dt / max(1, jax.device_count())
+
+    out = {
+        "metric": "e2e_acm_train_clips_per_sec_per_chip_tsm_r50_8x224",
+        "value": round(rate, 2),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(rate / BASELINE_CLIPS_PER_SEC_PER_CHIP, 2),
+    }
+    if print_json:
+        print(json.dumps(out))
+    return out
 
 
 def main(extras=None):
@@ -396,6 +514,8 @@ if __name__ == "__main__":
         bench_input()
     elif mode == "train_e2e":
         bench_train_e2e()
+    elif mode == "train_e2e_acm":
+        bench_train_e2e_acm()
     else:
         # default driver run: ONE JSON line whose headline is the device-step
         # metric, with the end-to-end (input-included) numbers and host decode
