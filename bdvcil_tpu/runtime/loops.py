@@ -250,7 +250,9 @@ def run_inference(
     labels_out: List[np.ndarray] = []
     reprs: List[np.ndarray] = []
 
-    for batch in loader:
+    def _prep(batch):
+        """Pad + start the host->device transfer (runs in the prefetch
+        thread, overlapping the device's forward on the previous batch)."""
         imgs = np.asarray(batch["imgs"])
         labels = np.asarray(batch["label"]).reshape(-1)
         n_valid = imgs.shape[0]
@@ -261,13 +263,28 @@ def run_inference(
         if target != n_valid:
             reps = [(0, target - n_valid)] + [(0, 0)] * (imgs.ndim - 1)
             imgs = np.pad(imgs, reps, mode="edge")
-        if mesh is not None:
-            imgs = jax.device_put(imgs, batch_sharding(mesh))
-        out = eval_step(variables, imgs)
+        imgs = jax.device_put(imgs, batch_sharding(mesh) if mesh is not None else None)
+        return imgs, labels, n_valid
+
+    def _drain(entry):
+        out, labels, n_valid = entry
         scores.append(np.asarray(out["cls_score"])[:n_valid])
         labels_out.append(labels)
         if extract_repr:
             reprs.append(np.asarray(out["repr"])[:n_valid])
+
+    # keep one step's outputs pending so materializing batch i's scores
+    # (np.asarray blocks until the forward finishes) happens AFTER batch
+    # i+1 is already dispatched — the loader decode, the transfer and the
+    # device forward all overlap instead of serializing per batch
+    pending = None
+    for imgs, labels, n_valid in prefetch_to_device(loader, size=2, put_fn=_prep):
+        out = eval_step(variables, imgs)
+        if pending is not None:
+            _drain(pending)
+        pending = (out, labels, n_valid)
+    if pending is not None:
+        _drain(pending)
 
     result = {
         "cls_score": np.concatenate(scores, axis=0),

@@ -455,12 +455,18 @@ struct Task {
 // measured end-to-end bottleneck is wire bandwidth, not decode.
 // ---------------------------------------------------------------------------
 
+int dct_denom(int iw, int ih, int min_w, int min_h);  // defined below
+
 // Decode the raw (non-upsampled) YCbCr planes of a 2x2-subsampled color JPEG.
 // Returns false if the file is not a plain 420 3-component JPEG (caller falls
-// back to the RGB path) or on decode error.
+// back to the RGB path) or on decode error. When (gate_min_w, gate_min_h) is
+// set, also bails right after the header if the direct RGB path would decode
+// this file DCT-downscaled (full-res planes could not reproduce it) — the
+// caller falls back before any pixel work is done.
 bool decode_jpeg_raw420(const char* path, std::vector<uint8_t>& ybuf,
                         std::vector<uint8_t>& cbbuf, std::vector<uint8_t>& crbuf,
-                        int& width, int& height, int& ystride, int& cstride) {
+                        int& width, int& height, int& ystride, int& cstride,
+                        int gate_min_w = 0, int gate_min_h = 0) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
 
@@ -480,7 +486,9 @@ bool decode_jpeg_raw420(const char* path, std::vector<uint8_t>& ybuf,
   if (cinfo.num_components != 3 || cinfo.jpeg_color_space != JCS_YCbCr ||
       cinfo.comp_info[0].h_samp_factor != 2 || cinfo.comp_info[0].v_samp_factor != 2 ||
       cinfo.comp_info[1].h_samp_factor != 1 || cinfo.comp_info[1].v_samp_factor != 1 ||
-      cinfo.comp_info[2].h_samp_factor != 1 || cinfo.comp_info[2].v_samp_factor != 1) {
+      cinfo.comp_info[2].h_samp_factor != 1 || cinfo.comp_info[2].v_samp_factor != 1 ||
+      dct_denom(static_cast<int>(cinfo.image_width),
+                static_cast<int>(cinfo.image_height), gate_min_w, gate_min_h) != 1) {
     jpeg_destroy_decompress(&cinfo);
     fclose(f);
     return false;
@@ -546,6 +554,110 @@ void resize_plane_window(const uint8_t* src, int sw, int sh, int stride, int dw,
   }
   bilinear_resize_window_t<1>(tight, sw, sh, dw, dh, cx, cy, out, out, dst,
                               dst_px_stride);
+}
+
+// The DCT downscale denominator decode_jpeg_file picks for a (min_w, min_h)
+// resize target: halve resolution while both axes stay >= the target.
+int dct_denom(int iw, int ih, int min_w, int min_h) {
+  if (min_w <= 0 || min_h <= 0) return 1;
+  int denom = 1;
+  while (denom < 8 && iw / (denom * 2) >= min_w && ih / (denom * 2) >= min_h)
+    denom *= 2;
+  return denom;
+}
+
+// Reconstruct full-resolution RGB from cached 420 planes with libjpeg's
+// DEFAULT decode chain replayed exactly: h2v2 "fancy" (triangular) chroma
+// upsample (jdsample.c — 9/3/3/1 weights, edges replicated, +8/+7 rounding
+// on even/odd output columns) followed by the fixed-point YCbCr->RGB of
+// jdcolor.c. Bit-identical to decode_jpeg_file's full-resolution output for
+// plain 420 JPEGs (pinned by tests/test_native_decoder.py cache tests); the
+// same math the device kernel ops/augment.yuv420_to_rgb implements.
+void planes_to_rgb(const PlaneEntry& e, uint8_t* rgb) {
+  const int w = e.w, h = e.h;
+  const int cw = (w + 1) / 2, ch = (h + 1) / 2;
+  // row-buffered like jdsample.c: vertical 3:1 sums per chroma column, then
+  // the horizontal 3:1 pass emits an upsampled chroma row; both inner loops
+  // are branch-free (edge columns peeled) so -O3 vectorizes them
+  std::vector<int16_t> sb(cw), sr(cw);      // vertical sums (<= 4*255)
+  std::vector<int16_t> cbu(2 * cw), cru(2 * cw);  // upsampled row, centered -128
+  auto hpass = [cw](const int16_t* s, int16_t* out) {
+    out[0] = static_cast<int16_t>(((s[0] * 4 + 8) >> 4) - 128);
+    out[1] = static_cast<int16_t>(
+        ((s[0] * 3 + s[cw > 1 ? 1 : 0] + 7) >> 4) - 128);
+    for (int c = 1; c < cw - 1; ++c) {
+      const int t3 = s[c] * 3;
+      out[2 * c] = static_cast<int16_t>(((t3 + s[c - 1] + 8) >> 4) - 128);
+      out[2 * c + 1] = static_cast<int16_t>(((t3 + s[c + 1] + 7) >> 4) - 128);
+    }
+    if (cw > 1) {
+      const int c = cw - 1;
+      out[2 * c] = static_cast<int16_t>(((s[c] * 3 + s[c - 1] + 8) >> 4) - 128);
+      out[2 * c + 1] = static_cast<int16_t>(((s[c] * 4 + 7) >> 4) - 128);
+    }
+  };
+  for (int y = 0; y < h; ++y) {
+    const int tr = y >> 1;
+    // vertical neighbor row: above for even output rows, below for odd
+    const int vr = (y & 1) ? (tr + 1 < ch ? tr + 1 : ch - 1) : (tr > 0 ? tr - 1 : 0);
+    const uint8_t* cbt = e.cb.data() + static_cast<size_t>(tr) * e.cstride;
+    const uint8_t* cbv = e.cb.data() + static_cast<size_t>(vr) * e.cstride;
+    const uint8_t* crt = e.cr.data() + static_cast<size_t>(tr) * e.cstride;
+    const uint8_t* crv = e.cr.data() + static_cast<size_t>(vr) * e.cstride;
+    for (int c = 0; c < cw; ++c) {
+      sb[c] = static_cast<int16_t>(3 * cbt[c] + cbv[c]);
+      sr[c] = static_cast<int16_t>(3 * crt[c] + crv[c]);
+    }
+    hpass(sb.data(), cbu.data());
+    hpass(sr.data(), cru.data());
+    const uint8_t* yrow = e.y.data() + static_cast<size_t>(y) * e.ystride;
+    uint8_t* drow = rgb + static_cast<size_t>(y) * w * 3;
+    for (int x = 0; x < w; ++x) {
+      const int cb = cbu[x], cr = cru[x];
+      const int yy = yrow[x];
+      int r = yy + ((91881 * cr + 32768) >> 16);              // FIX(1.40200)
+      int g = yy + ((-22554 * cb - 46802 * cr + 32768) >> 16);  // FIX(.34414/.71414)
+      int b = yy + ((116130 * cb + 32768) >> 16);             // FIX(1.77200)
+      drow[x * 3 + 0] = static_cast<uint8_t>(r < 0 ? 0 : (r > 255 ? 255 : r));
+      drow[x * 3 + 1] = static_cast<uint8_t>(g < 0 ? 0 : (g > 255 ? 255 : g));
+      drow[x * 3 + 2] = static_cast<uint8_t>(b < 0 ? 0 : (b > 255 ? 255 : b));
+    }
+  }
+}
+
+// decode_jpeg_file with the decoded-plane cache in front: identical output,
+// identical (width, height) contract. Cached planes are used ONLY when the
+// DCT downscale the direct path would pick for this (min_w, min_h) is 1:1 —
+// then planes_to_rgb replays libjpeg's own full-res chain bit-exactly. Any
+// other case (cache disabled, DCT-scaled decode of a large source, non-420
+// file) takes the original direct path, so enabling the cache can never
+// change a single pixel. Warm epochs/eval passes skip Huffman+IDCT entirely.
+bool decode_rgb_cached(const char* path, std::vector<uint8_t>& out, int& width,
+                       int& height, int min_w, int min_h) {
+  PlaneCache& cache = PlaneCache::instance();
+  if (!cache.enabled()) return decode_jpeg_file(path, out, width, height, min_w, min_h);
+
+  std::shared_ptr<const PlaneEntry> ent = cache.get(path);
+  if (ent && dct_denom(ent->w, ent->h, min_w, min_h) != 1)
+    return decode_jpeg_file(path, out, width, height, min_w, min_h);
+  if (!ent) {
+    auto fresh = std::make_shared<PlaneEntry>();
+    if (decode_jpeg_raw420(path, fresh->y, fresh->cb, fresh->cr, fresh->w,
+                           fresh->h, fresh->ystride, fresh->cstride,
+                           /*gate_min_w=*/min_w, /*gate_min_h=*/min_h)) {
+      cache.put(path, fresh);
+      ent = std::move(fresh);
+    } else {
+      // non-420 file, raw-decode failure, or a source large enough that the
+      // direct path would DCT-downscale: keep the original behavior
+      return decode_jpeg_file(path, out, width, height, min_w, min_h);
+    }
+  }
+  width = ent->w;
+  height = ent->h;
+  out.resize(static_cast<size_t>(width) * height * 3);
+  planes_to_rgb(*ent, out.data());
+  return true;
 }
 
 // RGB fallback for non-420 files: decode+window-resize RGB exactly like
@@ -714,7 +826,7 @@ int bdvc_decode_resize_crop_batch(const char** paths, int n, int short_side,
       if (i >= n || failed.load() != 0) break;
 
       int w = 0, h = 0;
-      if (!decode_jpeg_file(paths[i], decoded, w, h, short_side, short_side)) {
+      if (!decode_rgb_cached(paths[i], decoded, w, h, short_side, short_side)) {
         int expected = 0;
         failed.compare_exchange_strong(expected, i + 1);
         break;
@@ -787,7 +899,7 @@ int bdvc_decode_resize2_crop_batch(const char** paths, int n,
       // per-short-side; the worst case over both axes is max(rw, rh) against
       // the short side only when aspect flips, so probe dims first)
       int w = 0, h = 0;
-      if (!decode_jpeg_file(paths[i], decoded, w, h, rw, rh)) {
+      if (!decode_rgb_cached(paths[i], decoded, w, h, rw, rh)) {
         int expected = 0;
         failed.compare_exchange_strong(expected, i + 1);
         break;
@@ -930,7 +1042,7 @@ int bdvc_decode_tencrop_batch(const char** paths, int n, int short_side,
       if (i >= n || failed.load() != 0) break;
 
       int w = 0, h = 0;
-      if (!decode_jpeg_file(paths[i], decoded, w, h, short_side, short_side)) {
+      if (!decode_rgb_cached(paths[i], decoded, w, h, short_side, short_side)) {
         int expected = 0;
         failed.compare_exchange_strong(expected, i + 1);
         break;

@@ -69,6 +69,7 @@ def make_learnable_rawframe_tree(
     palette_hi: int = 215,
     val_jitter: Optional[int] = None,
     filename_tmpl: str = "img_{:05}.jpg",
+    extra_val_videos_per_class: int = 0,
 ):
     """Rawframe tree whose CLASS carries the signal (unlike
     ``make_rawframe_tree``, where each video gets an independent random color
@@ -118,6 +119,26 @@ def make_learnable_rawframe_tree(
                 cv2.imwrite(str(vdir / filename_tmpl.format(t)), img)
             line = f"{name} {num_frames} {cls}"
             (val_lines if vid >= train_videos_per_class else train_lines).append(line)
+
+        # extra val videos drawn from an INDEPENDENT per-class stream, so
+        # growing the val set (finer accuracy granularity for the parity
+        # tests) leaves every draw above — and therefore the train tree and
+        # the base val videos — bit-identical to extra_val_videos_per_class=0
+        xrng = np.random.default_rng(np.random.SeedSequence([seed, 1000 + cls]))
+        xjit_mag = video_jitter if val_jitter is None else val_jitter
+        for j in range(extra_val_videos_per_class):
+            name = f"video_c{cls}_xv{j}"
+            vdir = frames_root / name
+            vdir.mkdir(parents=True, exist_ok=True)
+            jit = xrng.integers(-xjit_mag, xjit_mag + 1, size=3)
+            for t in range(1, num_frames + 1):
+                img = np.clip(
+                    base[None, None] + jit[None, None] + grad
+                    + xrng.integers(-noise, noise + 1, size=(h, w, 3)),
+                    0, 255,
+                ).astype(np.uint8)
+                cv2.imwrite(str(vdir / filename_tmpl.format(t)), img)
+            val_lines.append(f"{name} {num_frames} {cls}")
 
     train_ann = root / "train_ann.txt"
     val_ann = root / "val_ann.txt"

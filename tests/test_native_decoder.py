@@ -72,3 +72,126 @@ def test_decode_failure_reports_index(jpegs, tmp_path):
     bad = str(tmp_path / "missing.jpg")
     with pytest.raises(IOError):
         native.decode_resize_crop_batch([jpegs[0], bad], short_side=96, out_h=64, out_w=64)
+
+
+# ---------------------------------------------------------------------------
+# decoded-plane cache on the RGB decode paths (native/decoder.cpp
+# decode_rgb_cached): cache hits reconstruct RGB from the stored YCbCr planes
+# with libjpeg's own fancy-upsample + color-convert chain (planes_to_rgb), so
+# enabling the cache must never change a single pixel vs the direct decode.
+# ---------------------------------------------------------------------------
+
+needs_cache = pytest.mark.skipif(
+    not (native.available() and native.decode_cache_stats() is not None),
+    reason="native decoder without plane cache",
+)
+
+
+@pytest.fixture
+def plane_cache():
+    native.decode_cache_set_budget_mb(512)
+    native.decode_cache_clear()
+    yield
+    native.decode_cache_set_budget_mb(512)
+    native.decode_cache_clear()
+
+
+@pytest.fixture(scope="module")
+def rgb_cache_jpegs(tmp_path_factory):
+    """Even AND odd dimensions: odd sizes exercise the edge rows/columns of
+    the h2v2 fancy upsample (chroma planes are ceil(w/2) x ceil(h/2))."""
+    root = tmp_path_factory.mktemp("rgbcache")
+    rng = np.random.default_rng(7)
+    paths = []
+    for i, (h, w) in enumerate([(120, 160), (91, 141), (200, 151), (77, 103)]):
+        img = cv2.GaussianBlur(
+            rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8), (5, 5), 2
+        )
+        p = root / f"rc_{i}.jpg"
+        cv2.imwrite(str(p), img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+        paths.append(str(p))
+    return paths
+
+
+def _cold_warm_equal(call):
+    """Run ``call()`` uncached / cache-cold / cache-warm and assert all three
+    outputs are bit-identical; returns the warm stats."""
+    native.decode_cache_set_budget_mb(0)
+    base = call()
+    native.decode_cache_set_budget_mb(512)
+    native.decode_cache_clear()
+    cold = call()
+    warm = call()
+    np.testing.assert_array_equal(base, cold)
+    np.testing.assert_array_equal(base, warm)
+    return native.decode_cache_stats()
+
+
+@needs_cache
+def test_rgb_resize_crop_cache_bit_identical(rgb_cache_jpegs, plane_cache):
+    stats = _cold_warm_equal(
+        lambda: native.decode_resize_crop_batch(
+            rgb_cache_jpegs, short_side=96, out_h=80, out_w=80
+        )
+    )
+    assert stats["hits"] >= len(rgb_cache_jpegs)
+    assert stats["entries"] == len(rgb_cache_jpegs)
+
+
+@needs_cache
+def test_rgb_resize2_crop_cache_bit_identical(rgb_cache_jpegs, plane_cache):
+    # anisotropic per-image targets, incl. an upscale row (the two-stage
+    # squash fallback) and explicit crops
+    dims = np.array([[180, 130], [150, 97], [160, 210], [220, 160]], dtype=np.int32)
+    crops = [(10, 20), (40, 8), (0, 0), (-1, -1)]
+    stats = _cold_warm_equal(
+        lambda: native.decode_resize2_crop_batch(
+            rgb_cache_jpegs, dims, out_h=64, out_w=64, crops=crops
+        )
+    )
+    assert stats["hits"] >= len(rgb_cache_jpegs)
+
+
+@needs_cache
+def test_rgb_tencrop_cache_bit_identical(rgb_cache_jpegs, plane_cache):
+    stats = _cold_warm_equal(
+        lambda: native.decode_tencrop_batch(rgb_cache_jpegs, short_side=96, crop=64)
+    )
+    assert stats["hits"] >= len(rgb_cache_jpegs)
+
+
+@needs_cache
+def test_rgb_cache_skips_dct_scaled_sources(tmp_path, plane_cache):
+    """A source large enough that the direct path decodes DCT-downscaled must
+    bypass the cache entirely (full-res planes could not reproduce the
+    scaled decode) — identical output, nothing cached."""
+    rng = np.random.default_rng(3)
+    img = cv2.GaussianBlur(
+        rng.integers(0, 255, size=(600, 800, 3)).astype(np.uint8), (7, 7), 3
+    )
+    p = str(tmp_path / "big.jpg")
+    cv2.imwrite(p, img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+    # short_side 96 on a 600-short source -> denom 4 DCT scale in the direct path
+    stats = _cold_warm_equal(
+        lambda: native.decode_resize_crop_batch([p], short_side=96, out_h=80, out_w=80)
+    )
+    assert stats["entries"] == 0
+
+
+@needs_cache
+def test_rgb_cache_full_decode_matches_libjpeg(rgb_cache_jpegs, plane_cache):
+    """planes_to_rgb must replay libjpeg's full-res decode chain bit for bit:
+    pin the identity-geometry decode (no resize: dims == stored dims, crop at
+    origin covering the full image) cached vs direct."""
+    for p in rgb_cache_jpegs:
+        ref = native.decode_file(p)  # direct libjpeg full decode (uncached API)
+        h, w = ref.shape[:2]
+        native.decode_cache_clear()
+        out = native.decode_resize2_crop_batch(
+            [p], np.array([[w, h]], dtype=np.int32), out_h=h, out_w=w, crops=[(0, 0)]
+        )[0]
+        np.testing.assert_array_equal(out, ref)  # cold (miss) path
+        out2 = native.decode_resize2_crop_batch(
+            [p], np.array([[w, h]], dtype=np.int32), out_h=h, out_w=w, crops=[(0, 0)]
+        )[0]
+        np.testing.assert_array_equal(out2, ref)  # warm (hit) path

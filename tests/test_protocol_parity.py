@@ -180,13 +180,19 @@ def parity_tree(tmp_path_factory):
     # in the robust regime (14 epochs clears the from-scratch convergence
     # cliff) while val videos carry a larger color jitter than train
     # (val_jitter) so irreducible val error pins accuracies at ~60-85.
-    # Measured (torch side): CNN [66.7], [66.7, 75.0], [66.7, 75.0, 66.7];
-    # NME [66.7], [66.7, 75.0], [83.3, 75.0, 66.7].
+    # 24 val videos/class (48/stage) put the accuracy quantum at ~2.1 pts —
+    # fine enough that the parity bounds below measure framework agreement
+    # rather than per-video quantization noise (the earlier 6/class tree
+    # forced 8.3-pt steps and a 15-20 pt tolerance). The extra 18/class come
+    # from an independent RNG stream (extra_val_videos_per_class) so the
+    # TRAIN tree is bit-identical to the tuned round-3 setup — regrowing the
+    # whole tree shifts the shared RNG stream and pushed the torch run off
+    # the from-scratch convergence cliff (stage accuracies 62->13->2).
     frames_root, train_ann, val_ann = make_learnable_rawframe_tree(
         root, num_classes=NUM_CLASSES, train_videos_per_class=6,
         val_videos_per_class=6, num_frames=8, size=(64, 80), seed=3,
         noise=60, video_jitter=42, palette_lo=85, palette_hi=170,
-        val_jitter=80,
+        val_jitter=80, extra_val_videos_per_class=18,
     )
     # backgrounds for the BackgroundMixDataset pipeline
     import cv2
@@ -242,12 +248,15 @@ def test_full_protocol_accuracy_parity(parity_tree, tmp_path_factory):
             assert 30.0 <= v <= 95.0, (cnn_t, cnn_j, nme_t, nme_j)
 
     # protocol parity: per-stage average accuracies track across frameworks.
-    # 12-24 val videos/stage (~4-8 pts per video) — the bound allows ~2-3
-    # videos of cross-framework divergence per stage plus fp/exemplar noise.
+    # 48-144 val videos/stage (~2.1 pts per video at stage 1) — measured
+    # deltas on the pinned seed: CNN 2.1/3.1/2.8, NME 6.3/1.0/2.8 pts
+    # (both sides are deterministic; the bound's headroom covers future
+    # BLAS/runtime changes, ~2x the worst measured cell).
     for a, b in zip(cnn_t, cnn_j):
-        assert abs(a - b) <= 20.0, (cnn_t, cnn_j)
+        assert abs(a - b) <= 10.0, (cnn_t, cnn_j)
     for a, b in zip(nme_t, nme_j):
-        assert abs(a - b) <= 20.0, (nme_t, nme_j)
+        assert abs(a - b) <= 10.0, (nme_t, nme_j)
     # the headline number: final-stage average within a tighter band
-    assert abs(cnn_t[-1] - cnn_j[-1]) <= 15.0, (cnn_t, cnn_j)
-    assert abs(nme_t[-1] - nme_j[-1]) <= 15.0, (nme_t, nme_j)
+    # (measured: CNN 2.78, NME 2.78)
+    assert abs(cnn_t[-1] - cnn_j[-1]) <= 7.5, (cnn_t, cnn_j)
+    assert abs(nme_t[-1] - nme_j[-1]) <= 7.5, (nme_t, nme_j)
