@@ -516,8 +516,17 @@ class CILTrainer:
         The reference hardcodes the ACM geometry (256 short side, 224 crops,
         MSC scales, flip 0.5, det thres 0.4) inside the dataset — mirrored
         here."""
-        from ..data.device_pipeline import FastACMLoader, make_fast_acm_input_fn
+        from ..data.device_pipeline import (
+            FastACMLoader,
+            make_fast_acm_input_fn,
+            resolve_wire_format,
+        )
 
+        # same wire-format policy as the BGMix branch: YUV420 planes halve
+        # the 2-clips-per-sample wire of this family when the kernel exists
+        wire_format = resolve_wire_format(
+            str(self.config.get("fast_input_wire_format", "auto")), 224
+        )
         loader = FastACMLoader(
             ds.video_infos,
             batch_size=self.config.videos_per_gpu * self.data_module.world_size,
@@ -529,8 +538,12 @@ class CILTrainer:
             drop_last=False,  # see the FastBGMixLoader note above
             pad_to_batch=True,
             num_workers=int(self.config.get("fast_input_workers", 1)),
+            wire_format=wire_format,
         )
-        return loader, make_fast_acm_input_fn(dtype=self.spec.dtype)
+        logger.info("fast ACM input pipeline: %s wire format", loader.wire_format)
+        return loader, make_fast_acm_input_fn(
+            dtype=self.spec.dtype, wire_format=loader.wire_format
+        )
 
     def train_task(self) -> None:
         self.training_phase = "inc_step"

@@ -769,9 +769,12 @@ class FastACMLoader(_EpochSpanMixin):
     'apply_acm'/'apply_randaug'/'actor_flip'/'scene_flip' (B,) bool,
     'randaug_key' (B,2) u32, 'label' (B,1) i64, 'foreground_ratio' (B,) f32,
     'background_label' (B,1) i64, 'sample_weight' (B,) f32 when padded}.
+    With ``wire_format='yuv420'`` the two pixel tensors are replaced by
+    'imgs_y'/'imgs_c' + 'scene_y'/'scene_c' (half the wire bytes; the input
+    fn reconstructs RGB in-graph — see resolve_wire_format).
 
     ACM rows decode 2 clips, so host decode demand is ~2x the BGMix family's;
-    non-ACM rows reuse the action buffer as the (unused) scene placeholder.
+    non-ACM rows get a zeros scene placeholder (masked out on device).
     """
 
     def __init__(
@@ -797,9 +800,11 @@ class FastACMLoader(_EpochSpanMixin):
         num_workers: int = 1,
         process_index: int = None,
         process_count: int = None,
+        wire_format: str = "rgb",  # 'rgb' | 'yuv420' | 'auto'
     ):
         if not native.available():
             raise RuntimeError("native decoder unavailable; use the standard DataLoader")
+        self.wire_format = resolve_wire_format(wire_format, crop_size)
         self.video_infos = list(video_infos)
         self.batch_size = batch_size
         if process_count is None:
@@ -1000,27 +1005,50 @@ class FastACMLoader(_EpochSpanMixin):
                 crops.append(off)
                 resize_dims[row * t + j] = rdims
 
-        imgs = native.decode_resize2_crop_batch(
-            frame_paths, resize_dims, out_h=crop, out_w=crop, crops=crops,
-            num_threads=self.num_threads,
-        ).reshape(b, t, crop, crop, 3)
-
-        # non-ACM rows: deterministic placeholder, masked out on device
-        # (zeros: a memset, not a 19 MB memcpy of the frame tensor)
-        scene = np.zeros_like(imgs)
-        if scene_rows:
-            spaths = [p for _, paths in scene_rows for p in paths]
-            sdims = np.tile(np.array([crop, crop], np.int32), (len(spaths), 1))
+        # one decode-pool call for actor frames AND scene frames (scene rows
+        # appended after the b*t frame block, same trick as FastBGMixLoader's
+        # merged frame+bg call); non-ACM rows get a zeros placeholder that the
+        # device masks out (a memset, not a 19 MB memcpy of the frame tensor)
+        spaths = [p for _, paths in scene_rows for p in paths]
+        all_paths = frame_paths + spaths
+        all_dims = np.concatenate(
+            [resize_dims, np.tile(np.array([crop, crop], np.int32), (len(spaths), 1))]
+        )
+        all_crops = crops + [(0, 0)] * len(spaths)
+        if self.wire_format == "yuv420":
+            half = crop // 2
+            y, c = native.decode_yuv420_batch(
+                all_paths, all_dims, crop, all_crops, num_threads=self.num_threads
+            )
+            scene_y = np.zeros((b, t, crop, crop), np.uint8)
+            scene_c = np.zeros((b, t, half, half, 2), np.uint8)
+            if scene_rows:
+                sy = y[b * t :].reshape(len(scene_rows), t, crop, crop)
+                sc = c[b * t :].reshape(len(scene_rows), t, half, half, 2)
+                for i, (row, _) in enumerate(scene_rows):
+                    scene_y[row] = sy[i]
+                    scene_c[row] = sc[i]
+            pixels = {
+                "imgs_y": y[: b * t].reshape(b, t, crop, crop),
+                "imgs_c": c[: b * t].reshape(b, t, half, half, 2),
+                "scene_y": scene_y,
+                "scene_c": scene_c,
+            }
+        else:
             dec = native.decode_resize2_crop_batch(
-                spaths, sdims, out_h=crop, out_w=crop,
-                crops=[(0, 0)] * len(spaths), num_threads=self.num_threads,
-            ).reshape(len(scene_rows), t, crop, crop, 3)
-            for i, (row, _) in enumerate(scene_rows):
-                scene[row] = dec[i]
+                all_paths, all_dims, out_h=crop, out_w=crop, crops=all_crops,
+                num_threads=self.num_threads,
+            )
+            imgs = dec[: b * t].reshape(b, t, crop, crop, 3)
+            scene = np.zeros_like(imgs)
+            if scene_rows:
+                sdec = dec[b * t :].reshape(len(scene_rows), t, crop, crop, 3)
+                for i, (row, _) in enumerate(scene_rows):
+                    scene[row] = sdec[i]
+            pixels = {"imgs_u8": imgs, "scene_u8": scene}
 
         out = {
-            "imgs_u8": imgs,
-            "scene_u8": scene,
+            **pixels,
             "actor_boxes": actor_boxes,
             "scene_boxes": scene_boxes,
             "actor_full_mask": actor_full_mask,
@@ -1047,19 +1075,28 @@ def make_fast_acm_input_fn(
     randaug_m: int = 10,
     fill: int = 127,
     dtype=None,
+    wire_format: str = "rgb",
 ):
     """Device half of the fast ActorCutMix path: uint8 batch dict ->
     normalized clips, fully fused under jit. Non-ACM rows get RandAugment
     (prob 1, reference actor_cut_mix_loader.py:92-103); ACM rows get
-    per-clip flips then the box-mask composite (ops/augment.acm_composite)."""
+    per-clip flips then the box-mask composite (ops/augment.acm_composite).
+    With ``wire_format='yuv420'`` the batch carries the loader's YUV planes
+    and both clips' RGB is reconstructed in-graph first — must match the
+    loader's wire_format."""
     import jax
     import jax.numpy as jnp
 
-    from ..ops.augment import acm_composite, normalize_batch
+    from ..ops.augment import acm_composite, normalize_batch, yuv420_to_rgb
     from ..ops.rand_augment_dev import rand_augment_batch
 
     def input_fn(batch):
-        imgs = batch["imgs_u8"]
+        if wire_format == "yuv420":
+            imgs = yuv420_to_rgb(batch["imgs_y"], batch["imgs_c"])
+            scene_u8 = yuv420_to_rgb(batch["scene_y"], batch["scene_c"])
+        else:
+            imgs = batch["imgs_u8"]
+            scene_u8 = batch["scene_u8"]
 
         # RandAugment only touches non-ACM rows; with acm_prob=1.0 (the
         # reference default) every row is ACM, so skip the whole ~30 ms
@@ -1077,7 +1114,7 @@ def make_fast_acm_input_fn(
             return jnp.where(f[:, None, None, None, None], x[:, :, :, ::-1, :], x)
 
         actor = flip_clips(imgs, batch["actor_flip"])
-        scene = flip_clips(batch["scene_u8"], batch["scene_flip"])
+        scene = flip_clips(scene_u8, batch["scene_flip"])
         acm = acm_composite(
             actor, scene, batch["actor_boxes"], batch["scene_boxes"],
             batch["actor_full_mask"], fill=fill,

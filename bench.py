@@ -318,8 +318,9 @@ def bench_train_e2e_acm(print_json=True):
         acm_prob=1.0, seed=0, drop_last=True, prefetch=2,
         num_workers=int(os.environ.get("BENCH_WORKERS", "1")),
         process_index=0, process_count=1,
+        wire_format=os.environ.get("BENCH_WIRE", "auto"),
     )
-    input_fn = make_fast_acm_input_fn(dtype=jnp.bfloat16)
+    input_fn = make_fast_acm_input_fn(dtype=jnp.bfloat16, wire_format=loader.wire_format)
     step = make_train_step(spec, tx, num_classes=51, method="base", input_fn=input_fn)
     state = TrainState.create(variables, tx)
     key = jax.random.PRNGKey(0)

@@ -254,6 +254,58 @@ def test_fast_acm_input_fn_compositing(tmp_path):
             np.testing.assert_array_equal(u8[row, fi], ref)
 
 
+def test_fast_acm_yuv_wire_matches_rgb(tmp_path):
+    """YUV420 wire for the ACM family: with acm_prob=1 every clip decodes at
+    identity geometry (source size == crop), where the device reconstruction
+    (ops/augment.yuv420_to_rgb) replays the exact libjpeg chain the RGB wire
+    decodes with — so the jitted input_fn outputs must be bit-identical
+    across wire formats, and all non-pixel metadata must match (the wire
+    format never touches the rng draws)."""
+    pytest.importorskip("cv2")
+    from bdvcil_tpu.data import native
+
+    if not (native.available() and native.has_yuv420()):
+        pytest.skip("native decoder without yuv420 kernel")
+
+    infos = _make_acm_tree(tmp_path, size=(32, 32))
+
+    def make(wire, prob):
+        loader = FastACMLoader(
+            infos, batch_size=4, num_segments=4, crop_size=32, acm_prob=prob,
+            seed=2, drop_last=True, process_index=0, process_count=1,
+            wire_format=wire,
+        )
+        return loader, next(iter(loader))
+
+    _, b_rgb = make("rgb", 1.0)
+    _, b_yuv = make("yuv420", 1.0)
+    assert "imgs_y" in b_yuv and "scene_y" in b_yuv
+    for k in b_rgb:
+        if k not in ("imgs_u8", "scene_u8"):
+            np.testing.assert_array_equal(b_rgb[k], b_yuv[k])
+
+    strip = ("label", "foreground_ratio", "background_label")
+    out_rgb = np.asarray(
+        make_fast_acm_input_fn(wire_format="rgb")(
+            {k: jnp.asarray(v) for k, v in b_rgb.items() if k not in strip}
+        )
+    )
+    out_yuv = np.asarray(
+        make_fast_acm_input_fn(wire_format="yuv420")(
+            {k: jnp.asarray(v) for k, v in b_yuv.items() if k not in strip}
+        )
+    )
+    np.testing.assert_array_equal(out_rgb, out_yuv)
+
+    # mixed acm/randaug batch (MSC-resized non-ACM rows are not identity
+    # geometry): metadata still matches exactly across wires
+    _, m_rgb = make("rgb", 0.5)
+    _, m_yuv = make("yuv420", 0.5)
+    for k in m_rgb:
+        if k not in ("imgs_u8", "scene_u8"):
+            np.testing.assert_array_equal(m_rgb[k], m_yuv[k])
+
+
 @pytest.mark.slow
 def test_cil_acm_fast_path_e2e(tmp_path_factory):
     """Full CILTrainer run over the ActorCutMix family with
@@ -379,5 +431,8 @@ def test_trainer_forwards_frame_layout_to_fast_loaders(tmp_path_factory):
     assert type(loader).__name__ == "FastACMLoader"
     assert loader.filename_tmpl == "f_{:04}.jpg" and loader.start_index == 0
     # a batch decodes without probing a nonexistent 1-based frame
+    # (pixel key depends on the resolved wire format — the trainer defaults
+    # to 'auto', i.e. yuv420 when the native kernel is present)
     batch = next(iter(loader))
-    assert batch["imgs_u8"].dtype == np.uint8
+    pixel_key = "imgs_y" if loader.wire_format == "yuv420" else "imgs_u8"
+    assert batch[pixel_key].dtype == np.uint8
