@@ -464,10 +464,11 @@ class CILTrainer:
                     crop_size = int(scale[0])
 
         randaug_prob = float(self.config.get("randAug_prob", 0.75))
-        # host->device wire format: 'auto' ships YUV420 planes (half the
-        # bytes; device reconstructs RGB in-graph) when the native kernel
-        # supports it; set fast_input_wire_format='rgb' for bit-parity with
-        # the host pipeline (data/device_pipeline.resolve_wire_format)
+        # host->device wire format: 'auto' ships stored-resolution YUV
+        # planes and runs the windowed resize on the MXU ('planes', bit-
+        # identical to 'yuv420') when the native kernel supports it; set
+        # fast_input_wire_format='rgb' for bit-parity with the host
+        # pipeline (data/device_pipeline.resolve_wire_format)
         from ..data.device_pipeline import resolve_wire_format
 
         wire_format = resolve_wire_format(
@@ -522,10 +523,14 @@ class CILTrainer:
             resolve_wire_format,
         )
 
-        # same wire-format policy as the BGMix branch: YUV420 planes halve
-        # the 2-clips-per-sample wire of this family when the kernel exists
+        # same wire-format policy as the BGMix branch, minus 'planes' (the
+        # ACM loader ships YUV420 at most — a config asking for 'planes'
+        # gets the closest supported wire here): YUV420 planes halve the
+        # 2-clips-per-sample wire of this family when the kernel exists
+        requested = str(self.config.get("fast_input_wire_format", "auto"))
         wire_format = resolve_wire_format(
-            str(self.config.get("fast_input_wire_format", "auto")), 224
+            "auto" if requested == "planes" else requested, 224,
+            allow_planes=False,
         )
         loader = FastACMLoader(
             ds.video_infos,

@@ -60,7 +60,7 @@ def _record_producer_phases(**seconds: float) -> None:
         PRODUCER_STATS["batches"] = PRODUCER_STATS.get("batches", 0.0) + 1.0
 
 
-def resolve_wire_format(wire_format: str, crop_size: int) -> str:
+def resolve_wire_format(wire_format: str, crop_size: int, allow_planes: bool = True) -> str:
     """Resolve the host->device wire format for the fast input path.
 
     'rgb' ships decoded uint8 RGB crops (bit-parity with the host cv2/PIL
@@ -68,16 +68,36 @@ def resolve_wire_format(wire_format: str, crop_size: int) -> str:
     the bytes, ~1/3 less host decode work — and the jitted input_fn
     reconstructs RGB on device (ops/augment.yuv420_to_rgb); reconstruction
     differs from the RGB path by ~1 gray level at resize geometry
-    (tests/test_yuv_wire.py). 'auto' picks yuv420 whenever the native kernel
-    exists and the crop is even."""
+    (tests/test_yuv_wire.py). 'planes' ships the STORED-resolution planes and
+    moves the windowed bilinear resize itself onto the MXU as exact integer
+    matmuls (ops/augment.resize_plane_bilinear_taps) — pixel output is
+    bit-identical to 'yuv420' while warm host work per frame drops to a
+    plane-cache memcpy (tests/test_planes_wire.py). 'auto' picks yuv420 when
+    the native kernel exists (else rgb): on hosts where the host->device
+    wire rides a CPU-mediated transport (the tunneled dev box), the planes
+    wire's extra bytes (stored res ~1.55x the crop area at UCF geometry)
+    cost more than the host resize they avoid — measured medians 82 vs 56
+    clips/s e2e (PERF_NOTES "Round 3: planes wire"). On PCIe/DMA-attached
+    production hosts set fast_input_wire_format='planes' to cut steady-state
+    producer CPU ~3-4x (8-18 vs 28-88 ms/batch measured). ``allow_planes``
+    gates 'planes' for loaders that don't implement it (FastACMLoader)."""
     if wire_format == "auto":
         return "yuv420" if native.has_yuv420() and crop_size % 2 == 0 else "rgb"
+    if wire_format == "planes" and not allow_planes:
+        raise ValueError("this loader does not support wire_format='planes'")
     if wire_format == "yuv420" and not (native.has_yuv420() and crop_size % 2 == 0):
         raise ValueError(
             f"wire_format='yuv420' needs the yuv420 native kernel and an even "
             f"crop size (got crop={crop_size}, has_yuv420={native.has_yuv420()})"
         )
-    if wire_format not in ("rgb", "yuv420"):
+    if wire_format == "planes" and not (
+        native.has_fetch_planes() and native.has_yuv420() and crop_size % 2 == 0
+    ):
+        raise ValueError(
+            f"wire_format='planes' needs the fetch_planes + yuv420 native "
+            f"kernels and an even crop size (got crop={crop_size})"
+        )
+    if wire_format not in ("rgb", "yuv420", "planes"):
         raise ValueError(f"unknown wire_format {wire_format!r}")
     return wire_format
 
@@ -151,6 +171,53 @@ def plan_bg_crop(rng, orig_w: int, orig_h: int, short_side: int, crop: int) -> t
     bx = int(rng.integers(0, max(rw - crop, 0) + 1))
     by = int(rng.integers(0, max(rh - crop, 0) + 1))
     return bx, by
+
+
+def plane_resize_taps(sw, sh, dw, dh, cx, cy, out):
+    """Per-axis taps of the windowed bilinear resize — the EXACT index/weight
+    math of native/decoder.cpp resize_plane_window + bilinear_resize_window_t
+    (float32 half-pixel-center sampling, 8-bit fixed-point weights, clamped
+    window), so a device resize driven by these taps is bit-identical to the
+    host path (ops/augment.resize_plane_bilinear_taps).
+
+    Returns a (6, out) int32 array — rows (x0, x1, xw, y0, y1, yw) — or None
+    when the C++ would take the two-stage squash fallback (window larger than
+    the resize target): the caller must host-resize that frame and use
+    :func:`identity_plane_taps` instead."""
+    cx = max(cx, 0)
+    cy = max(cy, 0)
+    if cx + out > dw:
+        cx = dw - out
+    if cy + out > dh:
+        cy = dh - out
+    if cx < 0 or cy < 0:
+        return None
+    if sw == dw and sh == dh:  # identity resize: plain crop copy
+        idx = np.arange(out, dtype=np.int32)
+        zero = np.zeros(out, np.int32)
+        return np.stack([idx + cx, idx + cx, zero, idx + cy, idx + cy, zero])
+
+    def axis(offset, d, s):
+        ratio = np.float32(s) / np.float32(d)
+        sx = (np.arange(out, dtype=np.float32) + np.float32(offset) + np.float32(0.5)) * ratio - np.float32(0.5)
+        sx = np.maximum(sx, np.float32(0))
+        i0 = np.minimum(sx.astype(np.int32), s - 1)
+        i1 = np.minimum(i0 + 1, s - 1)
+        w1 = ((sx - i0.astype(np.float32)) * np.float32(256.0) + np.float32(0.5)).astype(np.int32)
+        return i0, i1, w1
+
+    x0, x1, xw = axis(cx, dw, sw)
+    y0, y1, yw = axis(cy, dh, sh)
+    return np.stack([x0, x1, xw, y0, y1, yw])
+
+
+def identity_plane_taps(out):
+    """Taps that copy the top-left ``out`` x ``out`` corner unchanged — used
+    for frames the host already resized to final geometry (squash fallback,
+    non-420 files), pasted at the pad origin."""
+    idx = np.arange(out, dtype=np.int32)
+    zero = np.zeros(out, np.int32)
+    return np.stack([idx, idx, zero, idx, idx, zero])
 
 
 def _parallel_ordered_iter(batches, make, num_workers: int, prefetch: int):
@@ -266,11 +333,28 @@ def make_fast_input_fn(
     (ops/augment.yuv420_to_rgb) — must match the loader's wire_format."""
     import jax.numpy as jnp
 
-    from ..ops.augment import fused_train_augment, yuv420_to_rgb
+    from ..ops.augment import (
+        fused_train_augment,
+        resize_plane_bilinear_taps,
+        yuv420_to_rgb,
+    )
     from ..ops.rand_augment_dev import rand_augment_batch
 
     def input_fn(batch):
-        if wire_format == "yuv420":
+        if wire_format == "planes":
+            crop = batch["imgs_taps_y"].shape[-1]
+            half = batch["imgs_taps_c"].shape[-1]
+            y = resize_plane_bilinear_taps(batch["imgs_y"], batch["imgs_taps_y"], crop)
+            c = resize_plane_bilinear_taps(batch["imgs_c"], batch["imgs_taps_c"], half)
+            imgs_u8 = yuv420_to_rgb(y, c)
+            bgy = resize_plane_bilinear_taps(
+                batch["bg_y"][:, None], batch["bg_taps_y"], crop
+            )[:, 0]
+            bgc = resize_plane_bilinear_taps(
+                batch["bg_c"][:, None], batch["bg_taps_c"], half
+            )[:, 0]
+            bg_u8 = yuv420_to_rgb(bgy, bgc)
+        elif wire_format == "yuv420":
             imgs_u8 = yuv420_to_rgb(batch["imgs_y"], batch["imgs_c"])
             bg_u8 = yuv420_to_rgb(batch["bg_y"], batch["bg_c"])
         else:
@@ -501,7 +585,7 @@ class FastBGMixLoader(_EpochSpanMixin):
         num_workers: int = 1,
         process_index: int = None,
         process_count: int = None,
-        wire_format: str = "rgb",  # 'rgb' | 'yuv420' | 'auto'
+        wire_format: str = "rgb",  # 'rgb' | 'yuv420' | 'planes' | 'auto'
     ):
         if not native.available():
             raise RuntimeError("native decoder unavailable; use the standard DataLoader")
@@ -550,6 +634,14 @@ class FastBGMixLoader(_EpochSpanMixin):
         # once and cached; frames within one video share dimensions (same
         # assumption mmaction2 pipelines make via the clip-wide img_shape)
         self._dims: Dict[str, tuple] = {}
+        # 'planes' wire: running pad dims (never shrink — a growing pad is a
+        # one-off recompile of the jitted step) and the per-file pixel cap
+        # above which a source is host-resized instead of shipped at stored
+        # resolution (keeps the wire bounded for outlier-sized sources)
+        self._pad_w = self._pad_h = 0
+        import os as _os
+
+        self.planes_max_px = int(_os.environ.get("BDVC_PLANES_MAX_PX", str(512 * 512)))
 
     def _get_dims(self, keys_and_paths: List) -> None:
         """Probe original dims for any (cache_key, jpeg_path) not yet seen."""
@@ -566,6 +658,103 @@ class FastBGMixLoader(_EpochSpanMixin):
     def __len__(self) -> int:
         n = len(self.video_infos)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _make_planes_wire(self, b, t, crop, indices, all_paths, all_dims, all_crops):
+        """'planes' wire: ship STORED-resolution YCbCr planes + per-clip
+        resize taps; the windowed bilinear resize runs on the MXU
+        (ops/augment.resize_plane_bilinear_taps), bit-identical to the host
+        C++ path. Frames the stored-plane form cannot serve — non-420 JPEGs,
+        sources over ``planes_max_px``, squash-fallback geometry, per-frame
+        dims deviating from the clip's probed dims — are host-resized to
+        final geometry (decode_yuv420_batch), pasted at the pad origin and
+        given identity taps, so one odd file never changes any pixel."""
+        half = crop // 2
+        n = b * t + b
+
+        # per-slot source dims (frames share their video's probed dims)
+        src = np.empty((n, 2), np.int32)
+        for row, idx in enumerate(indices):
+            src[row * t : (row + 1) * t] = self._dims[self.video_infos[int(idx)]["frame_dir"]]
+        for row in range(b):
+            src[b * t + row] = self._dims[all_paths[b * t + row]]
+
+        # grow the running pad over servable sources; multiples of 16 keep
+        # recompiles rare and the chroma pad even. pad >= crop so fallback
+        # frames (final geometry) fit at the origin.
+        served = src[:, 0].astype(np.int64) * src[:, 1] <= self.planes_max_px
+        w_need = int(src[served, 0].max()) if served.any() else crop
+        h_need = int(src[served, 1].max()) if served.any() else crop
+        self._pad_w = max(self._pad_w, crop, -(-w_need // 16) * 16)
+        self._pad_h = max(self._pad_h, crop, -(-h_need // 16) * 16)
+        pw, ph = self._pad_w, self._pad_h
+
+        y_all, c_all, fdims = native.fetch_planes_batch(
+            all_paths, pw, ph, num_threads=self.num_threads
+        )
+
+        taps_y = np.empty((b, 6, crop), np.int32)
+        taps_c = np.empty((b, 6, half), np.int32)
+        bg_taps_y = np.empty((b, 6, crop), np.int32)
+        bg_taps_c = np.empty((b, 6, half), np.int32)
+        fb_slots: List[int] = []
+
+        def slot_ok(i):
+            return fdims[i, 0] == src[i, 0] and fdims[i, 1] == src[i, 1] and fdims[i, 0] > 0
+
+        def taps_for(i):
+            sw, sh = int(src[i, 0]), int(src[i, 1])
+            dw, dh = int(all_dims[i, 0]), int(all_dims[i, 1])
+            cx, cy = all_crops[i]
+            ty = plane_resize_taps(sw, sh, dw, dh, int(cx), int(cy), crop)
+            tc = plane_resize_taps(
+                (sw + 1) // 2, (sh + 1) // 2, (dw + 1) // 2, (dh + 1) // 2,
+                int(cx) // 2, int(cy) // 2, half,
+            )
+            return ty, tc
+
+        for row in range(b):
+            ty, tc = taps_for(row * t)
+            clip_slots = range(row * t, (row + 1) * t)
+            if ty is None or tc is None or not all(slot_ok(i) for i in clip_slots):
+                fb_slots.extend(clip_slots)
+                taps_y[row] = identity_plane_taps(crop)
+                taps_c[row] = identity_plane_taps(half)
+            else:
+                taps_y[row], taps_c[row] = ty, tc
+        for row in range(b):
+            i = b * t + row
+            ty, tc = taps_for(i)
+            if ty is None or tc is None or not slot_ok(i):
+                fb_slots.append(i)
+                bg_taps_y[row] = identity_plane_taps(crop)
+                bg_taps_c[row] = identity_plane_taps(half)
+            else:
+                bg_taps_y[row], bg_taps_c[row] = ty, tc
+
+        if fb_slots:
+            fy, fc = native.decode_yuv420_batch(
+                [all_paths[i] for i in fb_slots],
+                all_dims[np.array(fb_slots)],
+                crop,
+                [all_crops[i] for i in fb_slots],
+                num_threads=self.num_threads,
+            )
+            for k, i in enumerate(fb_slots):
+                y_all[i][:] = 0
+                y_all[i][:crop, :crop] = fy[k]
+                c_all[i][:] = 0
+                c_all[i][:half, :half] = fc[k]
+
+        return {
+            "imgs_y": y_all[: b * t].reshape(b, t, ph, pw),
+            "imgs_c": c_all[: b * t].reshape(b, t, ph // 2, pw // 2, 2),
+            "bg_y": y_all[b * t :],
+            "bg_c": c_all[b * t :],
+            "imgs_taps_y": taps_y,
+            "imgs_taps_c": taps_c,
+            "bg_taps_y": bg_taps_y,
+            "bg_taps_c": bg_taps_c,
+        }
 
     # -- batch assembly ----------------------------------------------------
     def _make_batch(
@@ -674,7 +863,11 @@ class FastBGMixLoader(_EpochSpanMixin):
         all_paths = frame_paths + bg_paths
         all_dims = np.concatenate([resize_dims, bg_dims])
         all_crops = crops + bg_crops
-        if self.wire_format == "yuv420":
+        if self.wire_format == "planes":
+            pixels = self._make_planes_wire(
+                b, t, crop, indices, all_paths, all_dims, all_crops
+            )
+        elif self.wire_format == "yuv420":
             y, c = native.decode_yuv420_batch(
                 all_paths, all_dims, crop, all_crops, num_threads=self.num_threads
             )
@@ -800,11 +993,11 @@ class FastACMLoader(_EpochSpanMixin):
         num_workers: int = 1,
         process_index: int = None,
         process_count: int = None,
-        wire_format: str = "rgb",  # 'rgb' | 'yuv420' | 'auto'
+        wire_format: str = "rgb",  # 'rgb' | 'yuv420' | 'auto' (no 'planes' yet)
     ):
         if not native.available():
             raise RuntimeError("native decoder unavailable; use the standard DataLoader")
-        self.wire_format = resolve_wire_format(wire_format, crop_size)
+        self.wire_format = resolve_wire_format(wire_format, crop_size, allow_planes=False)
         self.video_infos = list(video_infos)
         self.batch_size = batch_size
         if process_count is None:

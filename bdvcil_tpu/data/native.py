@@ -114,6 +114,18 @@ def _load():
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.c_int,
             ]
+        if hasattr(lib, "bdvc_fetch_planes_batch"):
+            lib.bdvc_fetch_planes_batch.restype = ctypes.c_int
+            lib.bdvc_fetch_planes_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int,
+            ]
         if hasattr(lib, "bdvc_cache_stats"):
             lib.bdvc_cache_stats.restype = None
             lib.bdvc_cache_stats.argtypes = [ctypes.POINTER(ctypes.c_long)] * 4
@@ -325,6 +337,50 @@ def decode_yuv420_batch(
     if rc != 0:
         raise IOError(f"decode failed for {paths[rc - 1]}")
     return out_y, out_c
+
+
+def has_fetch_planes() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "bdvc_fetch_planes_batch")
+
+
+def fetch_planes_batch(
+    paths: Sequence[str], pad_w: int, pad_h: int, num_threads: int = 0
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Stored-plane wire format: raw YCbCr 420 planes at STORED resolution,
+    tight-packed into fixed pads — the windowed bilinear resize runs on
+    device as exact integer matmuls (ops/augment.resize_planes_bilinear), so
+    warm host work per frame is one plane-cache lookup + memcpy.
+
+    Returns (y, c, dims): y (N, pad_h, pad_w) uint8, c (N, pad_h/2, pad_w/2,
+    2) uint8 interleaved CbCr, dims (N, 2) int32 stored (w, h) — (0, 0)
+    flags a frame the caller must host-resize instead (non-420 JPEG,
+    unreadable, or larger than the pad)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "bdvc_fetch_planes_batch"):
+        raise RuntimeError("native decoder unavailable or too old")
+    if pad_w % 2 != 0 or pad_h % 2 != 0:
+        raise ValueError(f"pad dims must be even, got {(pad_w, pad_h)}")
+    n = len(paths)
+    out_y = np.empty((n, pad_h, pad_w), dtype=np.uint8)
+    out_c = np.empty((n, pad_h // 2, pad_w // 2, 2), dtype=np.uint8)
+    dims = np.empty((n, 2), dtype=np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if num_threads <= 0:
+        num_threads = default_threads()
+    rc = lib.bdvc_fetch_planes_batch(
+        c_paths,
+        n,
+        pad_w,
+        pad_h,
+        out_y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        num_threads,
+    )
+    if rc != 0:
+        raise ValueError(f"fetch_planes_batch: bad pad dims {(pad_w, pad_h)}")
+    return out_y, out_c, dims
 
 
 def probe_dims_batch(paths: Sequence[str], num_threads: int = 0) -> np.ndarray:

@@ -84,6 +84,65 @@ def yuv420_to_rgb(y: jax.Array, c: jax.Array) -> jax.Array:
     return jnp.clip(jnp.stack([r, g, b], axis=-1), 0, 255).astype(jnp.uint8)
 
 
+def resize_plane_bilinear_taps(planes: jax.Array, taps: jax.Array, out: int) -> jax.Array:
+    """Windowed bilinear resize of stored-resolution planes on the MXU,
+    bit-identical to the host C++ fixed-point path (native/decoder.cpp
+    bilinear_resize_window_t): two-tap separable filter with integer weights
+    in [0, 256], single rounding ``(acc + 32768) >> 16``.
+
+    planes: (B, T, Hp, Wp) or (B, T, Hp, Wp, C) uint8, stored planes padded
+      to (Hp, Wp) (padding rows/cols are never indexed by valid taps).
+    taps: (B, 6, out) int32 — rows (x0, x1, xw, y0, y1, yw) from
+      data/device_pipeline.plane_resize_taps; one geometry per batch element
+      (shared by its T frames, exactly like the whole-clip host plan).
+
+    Exactness: pixels (<=255) and weights (<=256) are bf16-exact, the MXU
+    accumulates in f32, and every intermediate is an integer < 2^24
+    (255*256*256 = 16,711,680), so both matmul passes are exact integer
+    arithmetic; the vertical pass splits the 16-bit intermediate into hi/lo
+    bytes so its operands stay bf16-exact. Cost at (16, 8, 240, 320)->224 is
+    ~0.1 ms/batch — the host's ~25-100 ms/batch of windowed resize moves to
+    idle MXU cycles (PERF_NOTES "Round 3").
+    """
+    has_c = planes.ndim == 5
+    if not has_c:
+        planes = planes[..., None]
+    b, t, hp, wp, ch = planes.shape
+    x0, x1, xw = taps[:, 0], taps[:, 1], taps[:, 2]
+    y0, y1, yw = taps[:, 3], taps[:, 4], taps[:, 5]
+
+    # bf16 feeds the MXU on TPU (pixels <= 255 and weights <= 256 are
+    # bf16-exact); other backends lack the bf16xbf16->f32 dot, and plain f32
+    # is equally exact there
+    mm = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+    j = jnp.arange(wp, dtype=jnp.int32)[None, :, None]  # (1, Wp, 1)
+    w1 = xw.astype(jnp.float32)[:, None, :]  # (B, 1, out)
+    rx = ((256.0 - w1) * (j == x0[:, None, :]) + w1 * (j == x1[:, None, :])).astype(
+        mm
+    )  # (B, Wp, out); x0==x1 edge taps sum to 256 via the add
+    tmp = jnp.einsum(
+        "bthjc,bjx->bthxc",
+        planes.astype(mm),
+        rx,
+        preferred_element_type=jnp.float32,
+    )  # integer-valued f32 in [0, 65280] — the host's uint16 value*256 rows
+    tmp = tmp.astype(jnp.int32)
+
+    i = jnp.arange(hp, dtype=jnp.int32)[None, None, :]  # (1, 1, Hp)
+    v1 = yw.astype(jnp.float32)[:, :, None]  # (B, out, 1)
+    ry = ((256.0 - v1) * (i == y0[:, :, None]) + v1 * (i == y1[:, :, None])).astype(
+        mm
+    )  # (B, out, Hp)
+    hi = (tmp >> 8).astype(mm)
+    lo = (tmp & 255).astype(mm)
+    rhi = jnp.einsum("bih,bthxc->btixc", ry, hi, preferred_element_type=jnp.float32)
+    rlo = jnp.einsum("bih,bthxc->btixc", ry, lo, preferred_element_type=jnp.float32)
+    acc = rhi.astype(jnp.int32) * 256 + rlo.astype(jnp.int32)
+    res = ((acc + 32768) >> 16).astype(jnp.uint8)
+    return res if has_c else res[..., 0]
+
+
 def background_blend(imgs: jax.Array, bg: jax.Array, alpha, apply_mask=None) -> jax.Array:
     """Alpha-blend backgrounds over clips.
 

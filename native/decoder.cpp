@@ -1018,6 +1018,96 @@ int bdvc_decode_yuv420_batch(const char** paths, int n, const int* resize_w,
   return failed.load();
 }
 
+// Stored-plane wire format ("planes"): fetch each JPEG's raw YCbCr 420
+// planes at STORED resolution, tight-packed into fixed (pad_h, pad_w) / 2x2-
+// subsampled buffers — no resize at all on the host. The windowed bilinear
+// resize (the same fixed-point math as bilinear_resize_window_t) runs on the
+// TPU as exact integer matmuls (bdvcil_tpu/ops/augment.resize_planes_*), so
+// steady-state host work per frame is one plane-cache lookup + memcpy.
+// Output:
+//   out_y[i * pad_h * pad_w]                       uint8 Y, rows 0..h-1 valid
+//   out_c[i * (pad_h/2) * (pad_w/2) * 2]           uint8 interleaved CbCr
+//   dims[i*2], dims[i*2+1] = (w, h)                stored dims, or (0, 0)
+// dims (0, 0) flags a file the caller must route through the host-resize
+// fallback instead: not a plain 420 JPEG, unreadable, or larger than the
+// pad. pad_w/pad_h must be even. Always returns 0 (per-file failures are
+// reported via dims so one odd file can't fail the batch).
+int bdvc_fetch_planes_batch(const char** paths, int n, int pad_w, int pad_h,
+                            uint8_t* out_y, uint8_t* out_c, int* dims,
+                            int num_threads) {
+  if (n <= 0) return 0;
+  if (pad_w % 2 != 0 || pad_h % 2 != 0) return -1;
+  if (num_threads < 1) num_threads = 1;
+  if (num_threads > n) num_threads = n;
+
+  std::atomic<int> next(0);
+  const int cpw = pad_w / 2, cph = pad_h / 2;
+  const size_t y_bytes = static_cast<size_t>(pad_h) * pad_w;
+  const size_t c_bytes = static_cast<size_t>(cph) * cpw * 2;
+
+  PlaneCache& cache = PlaneCache::instance();
+
+  auto worker = [&]() {
+    set_decode_thread_priority();
+    while (true) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+
+      uint8_t* ydst = out_y + static_cast<size_t>(i) * y_bytes;
+      uint8_t* cdst = out_c + static_cast<size_t>(i) * c_bytes;
+
+      std::shared_ptr<const PlaneEntry> ent;
+      if (cache.enabled()) ent = cache.get(paths[i]);
+      if (!ent) {
+        auto fresh = std::make_shared<PlaneEntry>();
+        if (decode_jpeg_raw420(paths[i], fresh->y, fresh->cb, fresh->cr,
+                               fresh->w, fresh->h, fresh->ystride, fresh->cstride)) {
+          if (cache.enabled()) cache.put(paths[i], fresh);
+          ent = std::move(fresh);
+        }
+      }
+      if (!ent || ent->w > pad_w || ent->h > pad_h) {
+        dims[i * 2] = 0;
+        dims[i * 2 + 1] = 0;
+        // zero the planes so fallback frames the caller overwrites only in
+        // the top-left out x out corner still produce a deterministic wire
+        std::memset(ydst, 0, y_bytes);
+        std::memset(cdst, 0, c_bytes);
+        continue;
+      }
+      const int w = ent->w, h = ent->h;
+      const int cw = (w + 1) / 2, ch = (h + 1) / 2;
+      dims[i * 2] = w;
+      dims[i * 2 + 1] = h;
+      for (int y = 0; y < h; ++y) {
+        uint8_t* row = ydst + static_cast<size_t>(y) * pad_w;
+        std::memcpy(row, ent->y.data() + static_cast<size_t>(y) * ent->ystride, w);
+        std::memset(row + w, 0, pad_w - w);
+      }
+      std::memset(ydst + static_cast<size_t>(h) * pad_w, 0,
+                  static_cast<size_t>(pad_h - h) * pad_w);
+      for (int y = 0; y < ch; ++y) {
+        const uint8_t* cb = ent->cb.data() + static_cast<size_t>(y) * ent->cstride;
+        const uint8_t* cr = ent->cr.data() + static_cast<size_t>(y) * ent->cstride;
+        uint8_t* row = cdst + static_cast<size_t>(y) * cpw * 2;
+        for (int x = 0; x < cw; ++x) {
+          row[x * 2] = cb[x];
+          row[x * 2 + 1] = cr[x];
+        }
+        std::memset(row + cw * 2, 0, static_cast<size_t>(cpw - cw) * 2);
+      }
+      std::memset(cdst + static_cast<size_t>(ch) * cpw * 2, 0,
+                  static_cast<size_t>(cph - ch) * cpw * 2);
+    }
+  };
+
+  std::vector<std::thread> threads;
+  threads.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return 0;
+}
+
 // TenCrop fast path: decode+resize each image ONCE and emit the 5 fixed
 // crops (4 corners + center) of size out x out — the horizontal flips are
 // produced on-device (bdvcil_tpu/ops/augment.tencrop_expand). Output layout:
