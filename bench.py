@@ -204,18 +204,26 @@ def bench_train_e2e(print_json=True):
         jax.block_until_ready(state.params)
         return n
 
-    # warm (compile + decoded-plane cache fill), then measure enough epochs
-    # for >=40 steady-state steps: short windows (the old 2-epoch/8-step
-    # measurement) swing 30-50% from cgroup CPU-quota scheduling noise,
-    # while 40-step windows reproduce within a few percent (PERF_NOTES
-    # "Round 3: e2e").
+    # warm (compile + decoded-plane cache fill), then measure >=40
+    # steady-state steps per window: short windows (the old 2-epoch/8-step
+    # measurement) swing 30-50% from cgroup CPU-quota scheduling noise.
+    # Even 40-step windows swing with multi-minute external load bursts on
+    # the shared dev box (same config measured 39-95 clips/s across runs),
+    # so take the MEDIAN of BENCH_E2E_WINDOWS independent windows — the
+    # external interference is one-sided (it only ever steals CPU), so the
+    # median estimates the sustainable rate, and every window value is
+    # reported alongside for transparency.
     steps_per_epoch = max(1, len(loader))
     measure_epochs = max(2, -(-int(os.environ.get("BENCH_E2E_STEPS", "40")) // steps_per_epoch))
+    n_windows = max(1, int(os.environ.get("BENCH_E2E_WINDOWS", "3")))
     run_epochs(0, 1)
-    t0 = time.perf_counter()
-    clips = run_epochs(1, measure_epochs)
-    dt = time.perf_counter() - t0
-    rate = clips / dt / max(1, jax.device_count())
+    window_rates = []
+    for w in range(n_windows):
+        t0 = time.perf_counter()
+        clips = run_epochs(1 + w * measure_epochs, measure_epochs)
+        dt = time.perf_counter() - t0
+        window_rates.append(clips / dt / max(1, jax.device_count()))
+    rate = sorted(window_rates)[len(window_rates) // 2]
 
     # host decode capability on THIS box (thread-pool peak) and the honest
     # extrapolation: e2e is min(device rate, host decode rate / frames-per-
@@ -236,6 +244,7 @@ def bench_train_e2e(print_json=True):
     extras = {
         "e2e_train_clips_per_sec_per_chip": round(rate, 2),
         "e2e_vs_baseline": round(rate / BASELINE_CLIPS_PER_SEC_PER_CHIP, 2),
+        "e2e_window_rates": [round(r, 1) for r in window_rates],
         "host_decode_frames_per_sec": round(host_frames_per_sec, 1),
         "e2e_note": "host-bound on this ~4-core-quota dev box; v5e hosts have ~26 vCPU/chip",
     }
