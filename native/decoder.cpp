@@ -44,7 +44,92 @@
 #include <unistd.h>
 #endif
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace {
+
+// 8-lane AVX2 horizontal-resize pass for single-channel planes (the luma /
+// chroma hot loop of the yuv420 and planes-cache paths): gathers the two
+// taps per output pixel, blends in 8-bit fixed point, packs to uint16
+// (value * 256, same contract as the scalar hresize). The gathers load 4
+// bytes per tap, so lanes whose tap index could cross the row end
+// (idx > row_len - 4) take the scalar tail — ``safe_n`` is the caller-
+// computed cutoff (tap indices are monotonic in x).
+inline void hresize_u8_c1(const uint8_t* row, const int* x0s, const int* x1s,
+                          const int* xws, int ow, int safe_n, uint16_t* out) {
+  int x = 0;
+#if defined(__AVX2__)
+  const __m256i mask = _mm256_set1_epi32(0xFF);
+  const __m256i c256 = _mm256_set1_epi32(256);
+  for (; x + 8 <= safe_n; x += 8) {
+    const __m256i ia = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(x0s + x));
+    const __m256i ib = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(x1s + x));
+    const __m256i a = _mm256_and_si256(
+        _mm256_i32gather_epi32(reinterpret_cast<const int*>(row), ia, 1), mask);
+    const __m256i b = _mm256_and_si256(
+        _mm256_i32gather_epi32(reinterpret_cast<const int*>(row), ib, 1), mask);
+    const __m256i w1 = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(xws + x));
+    const __m256i w0 = _mm256_sub_epi32(c256, w1);
+    const __m256i v =
+        _mm256_add_epi32(_mm256_mullo_epi32(a, w0), _mm256_mullo_epi32(b, w1));
+    const __m128i p =
+        _mm_packus_epi32(_mm256_castsi256_si128(v), _mm256_extracti128_si256(v, 1));
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(out + x), p);
+  }
+#else
+  (void)safe_n;
+#endif
+  for (; x < ow; ++x)
+    out[x] = static_cast<uint16_t>(row[x0s[x]] * (256 - xws[x]) + row[x1s[x]] * xws[x]);
+}
+
+// Largest prefix of the (monotonic) tap index arrays whose 4-byte gather
+// stays inside a row of length sw.
+inline int hresize_safe_prefix(const std::vector<int>& x1s, int sw) {
+  int n = static_cast<int>(x1s.size());
+  while (n > 0 && x1s[n - 1] > sw - 4) --n;
+  return n;
+}
+
+// Vertical blend of two uint16 hresize rows to uint8 output, 8 lanes at a
+// time (same rounding as the scalar path: (r0*wy0 + r1*wy1 + 32768) >> 16).
+// ``stride`` is the output pixel stride in bytes (2 for the interleaved
+// chroma destination).
+inline void vresize_u16_c1(const uint16_t* r0, const uint16_t* r1, int wy0,
+                           int wy1, int n, uint8_t* dst, int stride) {
+  int x = 0;
+#if defined(__AVX2__)
+  const __m256i vw0 = _mm256_set1_epi32(wy0);
+  const __m256i vw1 = _mm256_set1_epi32(wy1);
+  const __m256i bias = _mm256_set1_epi32(32768);
+  for (; x + 8 <= n; x += 8) {
+    const __m256i a =
+        _mm256_cvtepu16_epi32(_mm_loadu_si128(reinterpret_cast<const __m128i*>(r0 + x)));
+    const __m256i b =
+        _mm256_cvtepu16_epi32(_mm_loadu_si128(reinterpret_cast<const __m128i*>(r1 + x)));
+    const __m256i v = _mm256_srli_epi32(
+        _mm256_add_epi32(
+            _mm256_add_epi32(_mm256_mullo_epi32(a, vw0), _mm256_mullo_epi32(b, vw1)),
+            bias),
+        16);
+    const __m128i p16 =
+        _mm_packus_epi32(_mm256_castsi256_si128(v), _mm256_extracti128_si256(v, 1));
+    const __m128i p8 = _mm_packus_epi16(p16, p16);
+    if (stride == 1) {
+      _mm_storel_epi64(reinterpret_cast<__m128i*>(dst + x), p8);
+    } else {
+      alignas(16) uint8_t tmp[16];
+      _mm_store_si128(reinterpret_cast<__m128i*>(tmp), p8);
+      for (int k = 0; k < 8; ++k) dst[static_cast<size_t>(x + k) * stride] = tmp[k];
+    }
+  }
+#endif
+  for (; x < n; ++x)
+    dst[static_cast<size_t>(x) * stride] =
+        static_cast<uint8_t>((r0[x] * wy0 + r1[x] * wy1 + 32768) >> 16);
+}
 
 // Decode worker threads run at low scheduler priority: decode has large
 // spare capacity (bulk throughput work), while the host->device transfer
@@ -164,8 +249,13 @@ void bilinear_resize_t(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw,
   std::vector<uint16_t> hrow0(static_cast<size_t>(dw) * C), hrow1(static_cast<size_t>(dw) * C);
   int cached_y0 = -1, cached_y1 = -1;
 
+  const int safe_n = (C == 1) ? hresize_safe_prefix(x1s, sw) : 0;
   auto hresize = [&](int sy, uint16_t* out) {
     const uint8_t* row = src + static_cast<size_t>(sy) * sw * C;
+    if constexpr (C == 1) {
+      hresize_u8_c1(row, x0s.data(), x1s.data(), xws.data(), dw, safe_n, out);
+      return;
+    }
     for (int x = 0; x < dw; ++x) {
       const int a = x0s[x], b = x1s[x], w1 = xws[x], w0 = 256 - w1;
       for (int c = 0; c < C; ++c)
@@ -204,6 +294,10 @@ void bilinear_resize_t(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw,
     uint8_t* drow = dst + static_cast<size_t>(y) * dw * dst_px_stride;
     const uint16_t* r0 = hrow0.data();
     const uint16_t* r1 = hrow1.data();
+    if constexpr (C == 1) {
+      vresize_u16_c1(r0, r1, wy0, wy1, dw, drow, dst_px_stride);
+      continue;
+    }
     for (int x = 0; x < dw; ++x) {
       for (int c = 0; c < C; ++c) {
         // (r0*wy0 + r1*wy1) is value * 256 * 256; round-shift back to uint8
@@ -386,8 +480,13 @@ void bilinear_resize_window_t(const uint8_t* src, int sw, int sh, int dw, int dh
   std::vector<uint16_t> hrow0(static_cast<size_t>(ow) * C), hrow1(static_cast<size_t>(ow) * C);
   int cached_y0 = -1, cached_y1 = -1;
 
+  const int safe_n = (C == 1) ? hresize_safe_prefix(x1s, sw) : 0;
   auto hresize = [&](int sy, uint16_t* out) {
     const uint8_t* row = src + static_cast<size_t>(sy) * sw * C;
+    if constexpr (C == 1) {
+      hresize_u8_c1(row, x0s.data(), x1s.data(), xws.data(), ow, safe_n, out);
+      return;
+    }
     for (int x = 0; x < ow; ++x) {
       const int a = x0s[x], b = x1s[x], w1 = xws[x], w0 = 256 - w1;
       for (int c = 0; c < C; ++c)
@@ -426,6 +525,10 @@ void bilinear_resize_window_t(const uint8_t* src, int sw, int sh, int dw, int dh
     uint8_t* drow = dst + static_cast<size_t>(y) * ow * dst_px_stride;
     const uint16_t* r0 = hrow0.data();
     const uint16_t* r1 = hrow1.data();
+    if constexpr (C == 1) {
+      vresize_u16_c1(r0, r1, wy0, wy1, ow, drow, dst_px_stride);
+      continue;
+    }
     for (int x = 0; x < ow; ++x) {
       for (int c = 0; c < C; ++c) {
         drow[x * dst_px_stride + c] =
