@@ -464,11 +464,12 @@ class CILTrainer:
                     crop_size = int(scale[0])
 
         randaug_prob = float(self.config.get("randAug_prob", 0.75))
-        # host->device wire format: 'auto' ships stored-resolution YUV
-        # planes and runs the windowed resize on the MXU ('planes', bit-
-        # identical to 'yuv420') when the native kernel supports it; set
-        # fast_input_wire_format='rgb' for bit-parity with the host
-        # pipeline (data/device_pipeline.resolve_wire_format)
+        # host->device wire format: 'auto' ships the JPEG's stored YUV420
+        # planes at crop resolution when the native kernel supports it (else
+        # 'rgb'). 'planes' (stored-resolution planes + MXU windowed resize,
+        # bit-identical to 'yuv420') is a deliberate opt-in for DMA-attached
+        # hosts: set fast_input_wire_format='planes' there, or 'rgb' for
+        # bit-parity with the host pipeline (resolve_wire_format docstring).
         from ..data.device_pipeline import resolve_wire_format
 
         wire_format = resolve_wire_format(

@@ -537,9 +537,14 @@ class _EpochSpanMixin:
             ]
         return [(idxs, w, epoch) for idxs, w in batches]
 
+    def _prepare_iteration(self) -> None:
+        """Main-thread hook run before the worker pool spawns (state that
+        must be fixed before concurrent ``_make_batch`` calls)."""
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         # worker pool keeps batches decoding while the device trains on the
         # previous one; ordered reassembly preserves determinism
+        self._prepare_iteration()
         yield from _parallel_ordered_iter(
             self._epoch_batches(self.epoch), self._make_batch, self.num_workers, self.prefetch
         )
@@ -547,6 +552,7 @@ class _EpochSpanMixin:
     def iter_epochs(self, first_epoch: int, num_epochs: int) -> Iterator[Dict[str, np.ndarray]]:
         """Chain ``num_epochs`` epochs (starting at ``first_epoch``) through
         one continuous producer stream; ``len(self)`` batches per epoch."""
+        self._prepare_iteration()
         work = [
             item
             for e in range(first_epoch, first_epoch + num_epochs)
@@ -655,6 +661,32 @@ class FastBGMixLoader(_EpochSpanMixin):
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
+    def _prepare_iteration(self) -> None:
+        """Fix the 'planes' pad dims on the main thread, from the WHOLE
+        corpus, before the worker pool spawns: concurrent ``_make_batch``
+        calls growing a shared running pad would make batch shapes
+        non-monotonic and worker-count-dependent. Probing every video (one
+        header per frame_dir — frames share dims) + bg file keeps the pad a
+        pure function of the dataset, so shapes are deterministic and there
+        is never a mid-run recompile of the jitted step."""
+        if self.wire_format != "planes" or self._pad_w:
+            return
+        probe = [
+            (
+                info["frame_dir"],
+                osp.join(info["frame_dir"], self.filename_tmpl.format(self.start_index)),
+            )
+            for info in self.video_infos
+        ] + [(p, p) for p in self.bg_files]
+        self._get_dims(probe)
+        dims = np.array([self._dims[k] for k, _ in probe], np.int64).reshape(-1, 2)
+        crop = self.crop_size
+        served = dims[:, 0] * dims[:, 1] <= self.planes_max_px
+        w_need = int(dims[served, 0].max()) if served.any() else crop
+        h_need = int(dims[served, 1].max()) if served.any() else crop
+        self._pad_w = max(crop, -(-w_need // 16) * 16)
+        self._pad_h = max(crop, -(-h_need // 16) * 16)
+
     def __len__(self) -> int:
         n = len(self.video_infos)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
@@ -678,9 +710,10 @@ class FastBGMixLoader(_EpochSpanMixin):
         for row in range(b):
             src[b * t + row] = self._dims[all_paths[b * t + row]]
 
-        # grow the running pad over servable sources; multiples of 16 keep
-        # recompiles rare and the chroma pad even. pad >= crop so fallback
-        # frames (final geometry) fit at the origin.
+        # pad dims are fixed for the whole corpus by _prepare_iteration before
+        # any worker runs; this grow only fires for direct _make_batch calls
+        # outside iteration (tests). multiples of 16 keep the chroma pad even;
+        # pad >= crop so fallback frames (final geometry) fit at the origin.
         served = src[:, 0].astype(np.int64) * src[:, 1] <= self.planes_max_px
         w_need = int(src[served, 0].max()) if served.any() else crop
         h_need = int(src[served, 1].max()) if served.any() else crop

@@ -118,6 +118,67 @@ def _ensure_bench_corpus(num_videos, frames_per_video=16):
     return root
 
 
+def _bench_model_cfg(num_segments, backbone=None):
+    """The TSM-R50 model config every bench mode measures — ONE definition so
+    the e2e / ACM / eval / device-step numbers stay comparable."""
+    return dict(
+        type="CILRecognizer2D",
+        backbone=backbone
+        or dict(type="ResNetTSM", depth=50, num_segments=num_segments, shift_div=8),
+        cls_head=dict(
+            type="IncrementalTSMHead",
+            num_classes=51,
+            in_channels=2048,
+            inc_head_config=dict(type="LocalSimilarityClassifier", out_features=51, nb_proxies=1),
+            num_segments=num_segments,
+            loss_cls=dict(type="LSCLoss"),
+            dropout_ratio=0.5,
+        ),
+        test_cfg=dict(average_clips="prob"),
+    )
+
+
+def _bench_train_state(num_segments):
+    """(spec, variables, tx) for the e2e train benches."""
+    import jax
+    import jax.numpy as jnp
+
+    from bdvcil_tpu.models import build_model, init_model_params
+    from bdvcil_tpu.optim import build_optimizer
+
+    spec = build_model(_bench_model_cfg(num_segments), dtype=jnp.bfloat16)
+    variables = init_model_params(spec, jax.random.PRNGKey(0), (1, num_segments, 224, 224, 3))
+    tx = build_optimizer(
+        variables["params"],
+        dict(type="SGD", paramwise_cfg=dict(fc_lr_scale_factor=5.0), lr=0.01,
+             momentum=0.9, weight_decay=1e-4),
+        steps_per_epoch=100,
+    )
+    return spec, variables, tx
+
+
+def _measure_e2e_windows(run_epochs, steps_per_epoch):
+    """Median-of-N >=40-step steady-state windows (epoch 0 warms compile +
+    plane cache). Short windows swing 30-50% with cgroup scheduling noise and
+    multi-minute external load bursts on the shared dev box; interference is
+    one-sided (it only steals CPU) so the median over independent windows
+    estimates the sustainable rate. Returns (median_rate, window_rates)."""
+    import time
+
+    import jax
+
+    measure_epochs = max(2, -(-int(os.environ.get("BENCH_E2E_STEPS", "40")) // max(1, steps_per_epoch)))
+    n_windows = max(1, int(os.environ.get("BENCH_E2E_WINDOWS", "3")))
+    run_epochs(0, 1)
+    window_rates = []
+    for w in range(n_windows):
+        t0 = time.perf_counter()
+        clips = run_epochs(1 + w * measure_epochs, measure_epochs)
+        dt = time.perf_counter() - t0
+        window_rates.append(clips / dt / max(1, jax.device_count()))
+    return sorted(window_rates)[len(window_rates) // 2], window_rates
+
+
 def bench_train_e2e(print_json=True):
     """BENCH_MODE=train_e2e — end-to-end training throughput including the
     input pipeline: synthetic UCF-101-shaped rawframes -> native C++ decode ->
@@ -134,8 +195,6 @@ def bench_train_e2e(print_json=True):
     import jax.numpy as jnp
 
     from bdvcil_tpu.data.device_pipeline import FastBGMixLoader, make_fast_input_fn
-    from bdvcil_tpu.models import build_model, init_model_params
-    from bdvcil_tpu.optim import build_optimizer
     from bdvcil_tpu.runtime import TrainState, make_train_step
 
     num_segments = 8
@@ -150,28 +209,7 @@ def bench_train_e2e(print_json=True):
     ]
     bg_files = sorted(str(p) for p in (root / "bg").glob("*.jpg"))
 
-    model_cfg = dict(
-        type="CILRecognizer2D",
-        backbone=dict(type="ResNetTSM", depth=50, num_segments=num_segments, shift_div=8),
-        cls_head=dict(
-            type="IncrementalTSMHead",
-            num_classes=51,
-            in_channels=2048,
-            inc_head_config=dict(type="LocalSimilarityClassifier", out_features=51, nb_proxies=1),
-            num_segments=num_segments,
-            loss_cls=dict(type="LSCLoss"),
-            dropout_ratio=0.5,
-        ),
-        test_cfg=dict(average_clips="prob"),
-    )
-    spec = build_model(model_cfg, dtype=jnp.bfloat16)
-    variables = init_model_params(spec, jax.random.PRNGKey(0), (1, num_segments, 224, 224, 3))
-    tx = build_optimizer(
-        variables["params"],
-        dict(type="SGD", paramwise_cfg=dict(fc_lr_scale_factor=5.0), lr=0.01,
-             momentum=0.9, weight_decay=1e-4),
-        steps_per_epoch=100,
-    )
+    spec, variables, tx = _bench_train_state(num_segments)
     loader = FastBGMixLoader(
         video_infos, bg_files, batch_size=batch, num_segments=num_segments,
         randaug_prob=0.75, seed=0, drop_last=True, prefetch=2,
@@ -204,26 +242,7 @@ def bench_train_e2e(print_json=True):
         jax.block_until_ready(state.params)
         return n
 
-    # warm (compile + decoded-plane cache fill), then measure >=40
-    # steady-state steps per window: short windows (the old 2-epoch/8-step
-    # measurement) swing 30-50% from cgroup CPU-quota scheduling noise.
-    # Even 40-step windows swing with multi-minute external load bursts on
-    # the shared dev box (same config measured 39-95 clips/s across runs),
-    # so take the MEDIAN of BENCH_E2E_WINDOWS independent windows — the
-    # external interference is one-sided (it only ever steals CPU), so the
-    # median estimates the sustainable rate, and every window value is
-    # reported alongside for transparency.
-    steps_per_epoch = max(1, len(loader))
-    measure_epochs = max(2, -(-int(os.environ.get("BENCH_E2E_STEPS", "40")) // steps_per_epoch))
-    n_windows = max(1, int(os.environ.get("BENCH_E2E_WINDOWS", "3")))
-    run_epochs(0, 1)
-    window_rates = []
-    for w in range(n_windows):
-        t0 = time.perf_counter()
-        clips = run_epochs(1 + w * measure_epochs, measure_epochs)
-        dt = time.perf_counter() - t0
-        window_rates.append(clips / dt / max(1, jax.device_count()))
-    rate = sorted(window_rates)[len(window_rates) // 2]
+    rate, window_rates = _measure_e2e_windows(run_epochs, len(loader))
 
     # host decode capability on THIS box (thread-pool peak) and the honest
     # extrapolation: e2e is min(device rate, host decode rate / frames-per-
@@ -277,8 +296,6 @@ def bench_train_e2e_acm(print_json=True):
     import jax.numpy as jnp
 
     from bdvcil_tpu.data.device_pipeline import FastACMLoader, make_fast_acm_input_fn
-    from bdvcil_tpu.models import build_model, init_model_params
-    from bdvcil_tpu.optim import build_optimizer
     from bdvcil_tpu.runtime import TrainState, make_train_step
     from bdvcil_tpu.runtime.loops import prefetch_to_device
 
@@ -300,28 +317,7 @@ def bench_train_e2e_acm(print_json=True):
         for v in range(num_videos)
     ]
 
-    model_cfg = dict(
-        type="CILRecognizer2D",
-        backbone=dict(type="ResNetTSM", depth=50, num_segments=num_segments, shift_div=8),
-        cls_head=dict(
-            type="IncrementalTSMHead",
-            num_classes=51,
-            in_channels=2048,
-            inc_head_config=dict(type="LocalSimilarityClassifier", out_features=51, nb_proxies=1),
-            num_segments=num_segments,
-            loss_cls=dict(type="LSCLoss"),
-            dropout_ratio=0.5,
-        ),
-        test_cfg=dict(average_clips="prob"),
-    )
-    spec = build_model(model_cfg, dtype=jnp.bfloat16)
-    variables = init_model_params(spec, jax.random.PRNGKey(0), (1, num_segments, 224, 224, 3))
-    tx = build_optimizer(
-        variables["params"],
-        dict(type="SGD", paramwise_cfg=dict(fc_lr_scale_factor=5.0), lr=0.01,
-             momentum=0.9, weight_decay=1e-4),
-        steps_per_epoch=100,
-    )
+    spec, variables, tx = _bench_train_state(num_segments)
     loader = FastACMLoader(
         video_infos, batch_size=batch, num_segments=num_segments,
         acm_prob=1.0, seed=0, drop_last=True, prefetch=2,
@@ -346,19 +342,14 @@ def bench_train_e2e_acm(print_json=True):
         jax.block_until_ready(state.params)
         return n
 
-    steps_per_epoch = max(1, len(loader))
-    measure_epochs = max(2, -(-int(os.environ.get("BENCH_E2E_STEPS", "40")) // steps_per_epoch))
-    run_epochs(0, 1)
-    t0 = time.perf_counter()
-    clips = run_epochs(1, measure_epochs)
-    dt = time.perf_counter() - t0
-    rate = clips / dt / max(1, jax.device_count())
+    rate, window_rates = _measure_e2e_windows(run_epochs, len(loader))
 
     out = {
         "metric": "e2e_acm_train_clips_per_sec_per_chip_tsm_r50_8x224",
         "value": round(rate, 2),
         "unit": "clips/s/chip",
         "vs_baseline": round(rate / BASELINE_CLIPS_PER_SEC_PER_CHIP, 2),
+        "e2e_window_rates": [round(r, 1) for r in window_rates],
     }
     if print_json:
         print(json.dumps(out))
@@ -401,21 +392,7 @@ def bench_eval_e2e(print_json=True):
         for v in range(num_videos)
     ]
 
-    model_cfg = dict(
-        type="CILRecognizer2D",
-        backbone=dict(type="ResNetTSM", depth=50, num_segments=num_segments, shift_div=8),
-        cls_head=dict(
-            type="IncrementalTSMHead",
-            num_classes=51,
-            in_channels=2048,
-            inc_head_config=dict(type="LocalSimilarityClassifier", out_features=51, nb_proxies=1),
-            num_segments=num_segments,
-            loss_cls=dict(type="LSCLoss"),
-            dropout_ratio=0.5,
-        ),
-        test_cfg=dict(average_clips="prob"),
-    )
-    spec = build_model(model_cfg, dtype=jnp.bfloat16)
+    spec = build_model(_bench_model_cfg(num_segments), dtype=jnp.bfloat16)
     variables = init_model_params(spec, jax.random.PRNGKey(0), (1, num_segments, 224, 224, 3))
     eval_step = make_eval_step(spec, 51)
     workers = int(os.environ.get("BENCH_WORKERS", "1"))
@@ -480,20 +457,7 @@ def main(extras=None):
         backbone["bn_groups"] = int(os.environ["BENCH_BN_GROUPS"])
     if os.environ.get("BENCH_BN_STATS_ROWS"):  # ghost BN stats (row prefix)
         backbone["bn_stats_rows"] = int(os.environ["BENCH_BN_STATS_ROWS"])
-    model_cfg = dict(
-        type="CILRecognizer2D",
-        backbone=backbone,
-        cls_head=dict(
-            type="IncrementalTSMHead",
-            num_classes=51,
-            in_channels=2048,
-            inc_head_config=dict(type="LocalSimilarityClassifier", out_features=51, nb_proxies=1),
-            num_segments=num_segments,
-            loss_cls=dict(type="LSCLoss"),
-            dropout_ratio=0.5,
-        ),
-        test_cfg=dict(average_clips="prob"),
-    )
+    model_cfg = _bench_model_cfg(num_segments, backbone=backbone)
     spec = build_model(model_cfg, dtype=jnp.bfloat16)
     variables = init_model_params(spec, jax.random.PRNGKey(0), (1, num_segments, 224, 224, 3))
     tx = build_optimizer(

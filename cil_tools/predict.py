@@ -153,13 +153,17 @@ def main():
     os.unlink(ann)
 
     payload = json.dumps({"predictions": results}, indent=2)
-    if not distributed.is_primary():  # every process computed the full
-        return  # gathered scores; only rank 0 reports
-    if args.output:
-        pathlib.Path(args.output).write_text(payload)
-        print(f"wrote {len(results)} predictions to {args.output}")
-    else:
-        print(payload)
+    # every process computed the full gathered scores; only rank 0 reports,
+    # and all ranks barrier before exiting so the coordination service is
+    # not torn down under rank 0 mid-write (same pattern as
+    # extract_features.py).
+    if distributed.is_primary():
+        if args.output:
+            pathlib.Path(args.output).write_text(payload)
+            print(f"wrote {len(results)} predictions to {args.output}")
+        else:
+            print(payload)
+    distributed.sync_processes("predict_write")
 
 
 if __name__ == "__main__":

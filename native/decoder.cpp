@@ -332,6 +332,8 @@ struct PlaneEntry {
   size_t bytes() const { return y.size() + cb.size() + cr.size(); }
 };
 
+int dct_denom(int iw, int ih, int min_w, int min_h);  // defined below
+
 class PlaneCache {
  public:
   static PlaneCache& instance() {
@@ -347,7 +349,11 @@ class PlaneCache {
     evict_locked();
   }
 
-  std::shared_ptr<const PlaneEntry> get(const char* path) {
+  // Pass (min_w, min_h) > 0 to require the 1:1 DCT scale the direct RGB
+  // decode path would pick for that geometry: an entry the caller cannot
+  // serve counts as a miss and is NOT LRU-promoted (promoting it would both
+  // inflate the reported hit rate and push genuinely reusable entries out).
+  std::shared_ptr<const PlaneEntry> get(const char* path, int min_w = 0, int min_h = 0) {
     struct stat st;
     if (stat(path, &st) != 0) return nullptr;
     std::lock_guard<std::mutex> g(mu_);
@@ -361,6 +367,10 @@ class PlaneCache {
       bytes_ -= node.entry->bytes();
       lru_.erase(node.pos);
       map_.erase(it);
+      ++misses_;
+      return nullptr;
+    }
+    if (min_w > 0 && dct_denom(node.entry->w, node.entry->h, min_w, min_h) != 1) {
       ++misses_;
       return nullptr;
     }
@@ -740,9 +750,11 @@ bool decode_rgb_cached(const char* path, std::vector<uint8_t>& out, int& width,
   PlaneCache& cache = PlaneCache::instance();
   if (!cache.enabled()) return decode_jpeg_file(path, out, width, height, min_w, min_h);
 
-  std::shared_ptr<const PlaneEntry> ent = cache.get(path);
-  if (ent && dct_denom(ent->w, ent->h, min_w, min_h) != 1)
-    return decode_jpeg_file(path, out, width, height, min_w, min_h);
+  // geometry-gated get: a cached entry this geometry would DCT-downscale is
+  // a miss (not promoted); the raw420 gate below then refuses it too and the
+  // direct path runs, so output is unchanged while hit/miss telemetry tracks
+  // what the cache actually served.
+  std::shared_ptr<const PlaneEntry> ent = cache.get(path, min_w, min_h);
   if (!ent) {
     auto fresh = std::make_shared<PlaneEntry>();
     if (decode_jpeg_raw420(path, fresh->y, fresh->cb, fresh->cr, fresh->w,

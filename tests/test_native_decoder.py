@@ -179,6 +179,37 @@ def test_rgb_cache_skips_dct_scaled_sources(tmp_path, plane_cache):
 
 
 @needs_cache
+def test_rgb_cache_geometry_rejection_counts_as_miss(tmp_path, plane_cache):
+    """A cached entry the RGB geometry would DCT-downscale is a telemetry
+    MISS (and not LRU-promoted): the direct decode runs anyway, so counting
+    it a hit would report ~1.0 hit_rate while warm decode is actually cold."""
+    rng = np.random.default_rng(5)
+    img = cv2.GaussianBlur(
+        rng.integers(0, 255, size=(600, 800, 3)).astype(np.uint8), (7, 7), 3
+    )
+    p = str(tmp_path / "big.jpg")
+    cv2.imwrite(p, img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+    native.decode_cache_set_budget_mb(512)
+    native.decode_cache_clear()
+    # cache the full-res planes via the yuv420 wire path (serves any size)
+    native.decode_yuv420_batch(
+        [p], np.array([[800, 600]], dtype=np.int32), out_size=96, crops=[(0, 0)]
+    )
+    assert native.decode_cache_stats()["entries"] == 1
+    ref = native.decode_resize_crop_batch([p], short_side=96, out_h=80, out_w=80)
+    before = native.decode_cache_stats()
+    # short_side 96 on a 600-short source -> denom 4 DCT scale: the RGB path
+    # must reject the cached full-res entry and count a miss, twice
+    out = native.decode_resize_crop_batch([p], short_side=96, out_h=80, out_w=80)
+    out2 = native.decode_resize_crop_batch([p], short_side=96, out_h=80, out_w=80)
+    np.testing.assert_array_equal(out, ref)
+    np.testing.assert_array_equal(out2, ref)
+    after = native.decode_cache_stats()
+    assert after["hits"] == before["hits"]
+    assert after["misses"] >= before["misses"] + 2
+
+
+@needs_cache
 def test_rgb_cache_full_decode_matches_libjpeg(rgb_cache_jpegs, plane_cache):
     """planes_to_rgb must replay libjpeg's full-res decode chain bit for bit:
     pin the identity-geometry decode (no resize: dims == stored dims, crop at

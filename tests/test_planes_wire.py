@@ -263,9 +263,7 @@ def test_planes_wire_fallbacks_keep_bit_identity(tmp_path):
 
 
 @needs_planes
-def test_planes_wire_pad_grows_across_batches(tmp_path):
-    """A later batch with a larger source grows the running pad (one-off
-    recompile) without changing pixels of either batch."""
+def _mixed_res_corpus(tmp_path):
     rng = np.random.default_rng(9)
     infos = []
     for v, (h, w) in enumerate([(100, 132, ), (150, 190)]):
@@ -278,19 +276,39 @@ def test_planes_wire_pad_grows_across_batches(tmp_path):
             cv2.imwrite(str(vdir / f"img_{t:05}.jpg"), img)
         infos.append(dict(frame_dir=str(vdir), total_frames=6, label=v))
     bg = str(pathlib.Path(infos[0]["frame_dir"]) / "img_00001.jpg")
+    return infos, bg
 
-    mk = lambda wf: FastBGMixLoader(
+
+def test_planes_wire_pad_fixed_from_corpus(tmp_path):
+    """Pad dims are fixed from the WHOLE corpus before iteration (pure
+    function of the dataset): every batch ships the same shape — no mid-run
+    recompile, no worker-count-dependent shapes — and pixels still match the
+    yuv420 wire exactly."""
+    infos, bg = _mixed_res_corpus(tmp_path)
+
+    mk = lambda wf, **kw: FastBGMixLoader(
         infos, [bg], batch_size=1, num_segments=4, crop_size=96,
         short_side=112, randaug_prob=0.5, seed=4, wire_format=wf, shuffle=False,
+        **kw,
     )
     yuv_batches = list(mk("yuv420"))
-    loader = mk("planes")
-    pl_batches = list(loader)
+    pl_batches = list(mk("planes"))
     pads = {b["imgs_y"].shape[-2:] for b in pl_batches}
-    assert len(pads) == 2  # pad grew between the two single-video batches
+    assert len(pads) == 1  # one corpus-wide pad covering the largest source
+    (ph, pw) = next(iter(pads))
+    assert pw >= 190 and ph >= 150  # covers the larger video
     for yb, pb in zip(yuv_batches, pl_batches):
         y, c, bgy, bgc = _device_resized_planes(pb)
         np.testing.assert_array_equal(y, yb["imgs_y"])
         np.testing.assert_array_equal(c, yb["imgs_c"])
         np.testing.assert_array_equal(bgy, yb["bg_y"])
         np.testing.assert_array_equal(bgc, yb["bg_c"])
+
+    # worker-count invariance: with 2 producer workers the batches (shapes
+    # AND content) are identical — the pad is not a shared mutable race
+    pl_batches_w2 = list(mk("planes", num_workers=2))
+    assert len(pl_batches_w2) == len(pl_batches)
+    for b1, b2 in zip(pl_batches, pl_batches_w2):
+        assert set(b1) == set(b2)
+        for k in b1:
+            np.testing.assert_array_equal(b1[k], b2[k])

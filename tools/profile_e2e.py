@@ -34,37 +34,17 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
 
 
 def build(batch, num_videos):
-    """Same corpus + model + step as bench.bench_train_e2e."""
-    import pathlib
-
-    import cv2
-    import jax
+    """Same corpus + model + step as bench.bench_train_e2e (imported from
+    bench.py so the profiled loop can never drift from the benched one)."""
     import jax.numpy as jnp
-    import numpy as np
 
-    from bdvcil_tpu.data.datasets import bg_extraction_tmf
+    from bench import _bench_train_state, _ensure_bench_corpus
     from bdvcil_tpu.data.device_pipeline import FastBGMixLoader, make_fast_input_fn
-    from bdvcil_tpu.models import build_model, init_model_params
-    from bdvcil_tpu.optim import build_optimizer
     from bdvcil_tpu.runtime import TrainState, make_train_step
 
     num_segments = 8
     frames_per_video = 16
-    root = pathlib.Path("/tmp/bdvc_bench_data")
-    marker = root / f".ok_{num_videos}"
-    if not marker.exists():
-        rng = np.random.default_rng(0)
-        bg_dir = root / "bg"
-        bg_dir.mkdir(parents=True, exist_ok=True)
-        for v in range(num_videos):
-            vdir = root / "rawframes" / f"v{v:04d}"
-            vdir.mkdir(parents=True, exist_ok=True)
-            base = rng.integers(0, 200, 3)
-            for t in range(1, frames_per_video + 1):
-                img = np.clip(base + rng.integers(0, 55, (240, 320, 3)), 0, 255).astype(np.uint8)
-                cv2.imwrite(str(vdir / f"img_{t:05d}.jpg"), img)
-            bg_extraction_tmf(vdir, bg_dir / f"v{v:04d}.jpg")
-        marker.touch()
+    root = _ensure_bench_corpus(num_videos, frames_per_video)
     video_infos = [
         dict(frame_dir=str(root / "rawframes" / f"v{v:04d}"), total_frames=frames_per_video,
              label=v % 51)
@@ -72,28 +52,7 @@ def build(batch, num_videos):
     ]
     bg_files = sorted(str(p) for p in (root / "bg").glob("*.jpg"))
 
-    model_cfg = dict(
-        type="CILRecognizer2D",
-        backbone=dict(type="ResNetTSM", depth=50, num_segments=num_segments, shift_div=8),
-        cls_head=dict(
-            type="IncrementalTSMHead",
-            num_classes=51,
-            in_channels=2048,
-            inc_head_config=dict(type="LocalSimilarityClassifier", out_features=51, nb_proxies=1),
-            num_segments=num_segments,
-            loss_cls=dict(type="LSCLoss"),
-            dropout_ratio=0.5,
-        ),
-        test_cfg=dict(average_clips="prob"),
-    )
-    spec = build_model(model_cfg, dtype=jnp.bfloat16)
-    variables = init_model_params(spec, jax.random.PRNGKey(0), (1, num_segments, 224, 224, 3))
-    tx = build_optimizer(
-        variables["params"],
-        dict(type="SGD", paramwise_cfg=dict(fc_lr_scale_factor=5.0), lr=0.01,
-             momentum=0.9, weight_decay=1e-4),
-        steps_per_epoch=100,
-    )
+    spec, variables, tx = _bench_train_state(num_segments)
     wire = os.environ.get("BDVC_WIRE", "auto")
     from bdvcil_tpu.data.device_pipeline import resolve_wire_format
 
