@@ -64,3 +64,44 @@ def test_temporal_median_matches_numpy():
     want = np.median(frames.astype(np.float32), axis=0)
     want = np.clip(np.round(want), 0, 255).astype(np.uint8)
     np.testing.assert_array_equal(got, want)
+
+
+def test_tubemix_torch_mirrors_device_semantics():
+    """tests/torch_cil_reference.tubemix_torch (the torch mini-reference's
+    CPU tube-CutMix) must implement the same per-batch semantics as the
+    device op: one box applied to every frame/channel, permutation mixing,
+    lam recomputed from the clipped box area, identity when the prob draw
+    fails."""
+    import torch
+
+    from tests.torch_cil_reference import tubemix_torch
+
+    b, m, h, w = 4, 2, 16, 16
+    x = torch.arange(b * m * 3 * h * w, dtype=torch.float32).reshape(b * m, 3, h, w)
+    targets = torch.eye(b)
+
+    # prob=0: identity, rng not consumed beyond the gate draw
+    out_x, out_t = tubemix_torch(
+        np.random.default_rng(0), x, targets, m, alpha=1.0, prob=0.0
+    )
+    assert torch.equal(out_x, x) and torch.equal(out_t, targets)
+
+    out_x, out_t = tubemix_torch(
+        np.random.default_rng(1), x.clone(), targets, m, alpha=1.0, prob=1.0
+    )
+    # soft targets stay a convex mix: rows sum to 1, exactly two source rows
+    np.testing.assert_allclose(out_t.sum(-1).numpy(), 1.0, rtol=1e-6)
+    # recover lam from the targets of a clip whose permuted partner differs
+    diff = (out_x != x).reshape(b, m, 3, h, w)
+    # the swapped region is the SAME box on every frame and channel (a tube)
+    box_mask = diff.any(dim=(1, 2))  # (b, h, w)
+    per_frame = diff.any(dim=2)  # (b, m, h, w)
+    for fi in range(m):
+        np.testing.assert_array_equal(per_frame[:, fi].numpy(), box_mask.numpy())
+    # lam in the mixed targets equals 1 - box_area/(h*w) for mixed rows
+    mixed_rows = [i for i in range(b) if not torch.equal(out_t[i], targets[i])]
+    assert mixed_rows, "perm mixed at least one row for this seed"
+    for i in mixed_rows:
+        lam_t = out_t[i].max().item()
+        area = box_mask[i].sum().item()
+        np.testing.assert_allclose(lam_t, 1.0 - area / (h * w), rtol=1e-5)

@@ -158,14 +158,18 @@ def torch_init_to_variables(model) -> dict:
 
     sd = {("backbone." + k): v.clone() for k, v in model.backbone.state_dict().items()}
     bk_params, bk_stats = load_torch_resnet_backbone(sd)
+    if getattr(model, "head_type", "lsc") == "linear":
+        head = {
+            "fc_weight": jnp.asarray(model.fc_weights.detach().numpy().copy()),
+            "fc_bias": jnp.asarray(model.fc_bias.detach().numpy().copy()),
+        }
+    else:
+        head = {
+            "fc_weights": jnp.asarray(model.fc_weights.detach().numpy().copy()),
+            "eta": jnp.asarray(model.eta.detach().numpy().copy()),
+        }
     return {
-        "params": {
-            "backbone": bk_params,
-            "head": {
-                "fc_weights": jnp.asarray(model.fc_weights.detach().numpy().copy()),
-                "eta": jnp.asarray(model.eta.detach().numpy().copy()),
-            },
-        },
+        "params": {"backbone": bk_params, "head": head},
         "batch_stats": {"backbone": bk_stats},
     }
 
@@ -260,3 +264,162 @@ def test_full_protocol_accuracy_parity(parity_tree, tmp_path_factory):
     # (measured: CNN 2.78, NME 2.78)
     assert abs(cnn_t[-1] - cnn_j[-1]) <= 7.5, (cnn_t, cnn_j)
     assert abs(nme_t[-1] - nme_j[-1]) <= 7.5, (nme_t, nme_j)
+
+
+def test_full_protocol_accuracy_parity_icarl(parity_tree, tmp_path_factory):
+    """Same full-protocol comparison for the iCaRL method family: SimpleLinear
+    (IncrementalNet) head, soft-target CE with prev-model softmax for
+    old-class samples (icarl.py:97-130), average_clips='score' forced, no
+    feature KD — torch mini-reference vs the real CILTrainer on identical
+    data, init, and order."""
+    from bdvcil_tpu.cil import CILTrainer
+    from tests.torch_cil_reference import TorchMiniCIL
+
+    root, frames_root, train_ann, val_ann = parity_tree
+
+    icarl_model = dict(
+        type="CILRecognizer2D",
+        backbone=dict(type="ResNetTSM", depth=18, num_segments=T, shift_div=8,
+                      norm_eval=False),
+        cls_head=dict(
+            type="IncrementalTSMHead",
+            num_classes=2,
+            in_channels=512,
+            inc_head_config=dict(type="SimpleLinear", out_features=2),
+            num_segments=T,
+            loss_cls=dict(type="CrossEntropyLoss"),
+            dropout_ratio=0.0,  # cross-framework RNG cannot match
+        ),
+        # 'prob' on purpose: the trainer must force 'score' for iCaRL
+        # (trainer.py mirror of icarl.py:34)
+        test_cfg=dict(average_clips="prob"),
+    )
+    # lr/epochs tuned on the torch side so the linear-CE head clears the
+    # from-scratch convergence cliff (stage-0 CNN 87.5 at 0.01/24; at the
+    # base config's 0.02/14 it sits at chance, which would make the
+    # comparison vacuous): probed over {0.01,0.02,0.05,0.1}x{14..30}
+    overrides = dict(methods="icarl", model=icarl_model, num_epochs_per_task=24)
+    cfg_torch = make_parity_config(
+        root, frames_root, train_ann, val_ann,
+        tmp_path_factory.mktemp("work_torch_icarl"), **overrides,
+    )
+    cfg_jax = make_parity_config(
+        root, frames_root, train_ann, val_ann,
+        tmp_path_factory.mktemp("work_jax_icarl"), **overrides,
+    )
+    cfg_torch.optimizer["lr"] = cfg_jax.optimizer["lr"] = 0.01
+
+    mini = TorchMiniCIL(cfg_torch)
+    assert mini.head_type == "linear" and mini.average_clips == "score"
+    init_variables = torch_init_to_variables(mini.model)
+
+    trainer = CILTrainer(cfg_jax)
+    trainer.variables = init_variables
+
+    mini.train()
+    trainer.train()
+
+    cnn_t = [np.mean(r) for r in mini.cnn_matrix]
+    cnn_j = [np.mean(r) for r in trainer.cnn_matrix]
+    nme_t = [np.mean(r) for r in mini.nme_matrix]
+    nme_j = [np.mean(r) for r in trainer.nme_matrix]
+    print("\n[icarl] torch CNN matrix:", mini.cnn_matrix)
+    print("[icarl] jax   CNN matrix:", trainer.cnn_matrix)
+    print("[icarl] torch NME matrix:", mini.nme_matrix)
+    print("[icarl] jax   NME matrix:", trainer.nme_matrix)
+    print("[icarl] per-stage avg CNN torch/jax:", cnn_t, cnn_j)
+    print("[icarl] per-stage avg NME torch/jax:", nme_t, nme_j)
+
+    for series in (cnn_t, cnn_j, nme_t, nme_j):
+        for v in series:
+            assert 30.0 <= v <= 95.0, (cnn_t, cnn_j, nme_t, nme_j)
+
+    # measured per-stage deltas on the pinned seed across two independent
+    # runs (torch CPU kernel selection is not bit-stable run-to-run, so the
+    # trajectories differ slightly): CNN 2.1/6.3/0.0 and 2.1/5.2/6.9,
+    # NME 2.1/5.2/0.7 and 4.2/6.3/1.4 — bound set at ~1.4x the worst observed
+    for a, b in zip(cnn_t, cnn_j):
+        assert abs(a - b) <= 10.0, (cnn_t, cnn_j)
+    for a, b in zip(nme_t, nme_j):
+        assert abs(a - b) <= 10.0, (nme_t, nme_j)
+
+
+def test_full_protocol_accuracy_parity_icarl_video_mix(parity_tree, tmp_path_factory):
+    """Third method family: icarl_video_mix — the iCaRL soft-target protocol
+    with tube-CutMix batch augmentation inside the train step
+    (icarl_video_mix.py:19-81). Both sides apply tubemix with the same
+    (prob, alpha) distribution; the draws themselves cannot match across
+    frameworks (jax mixes on device inside the jitted step), so this is a
+    distribution-level protocol comparison like the base test's treatment of
+    chaotic divergence."""
+    from bdvcil_tpu.cil import CILTrainer
+    from tests.torch_cil_reference import TorchMiniCIL
+
+    root, frames_root, train_ann, val_ann = parity_tree
+
+    vm_model = dict(
+        type="CILRecognizer2D",
+        backbone=dict(type="ResNetTSM", depth=18, num_segments=T, shift_div=8,
+                      norm_eval=False),
+        cls_head=dict(
+            type="IncrementalTSMHead",
+            num_classes=2,
+            in_channels=512,
+            inc_head_config=dict(type="SimpleLinear", out_features=2),
+            num_segments=T,
+            loss_cls=dict(type="CrossEntropyLoss"),
+            dropout_ratio=0.0,
+        ),
+        test_cfg=dict(average_clips="prob"),  # trainer must force 'score'
+    )
+    overrides = dict(
+        methods="icarl_video_mix",
+        model=vm_model,
+        num_epochs_per_task=24,
+        # mild mixing: prob 0.25 keeps the 2-class-per-task synthetic task
+        # learnable while still exercising the tubemix path every epoch
+        video_mix_prob=0.25,
+        video_mix_alpha=1.0,
+    )
+    cfg_torch = make_parity_config(
+        root, frames_root, train_ann, val_ann,
+        tmp_path_factory.mktemp("work_torch_vm"), **overrides,
+    )
+    cfg_jax = make_parity_config(
+        root, frames_root, train_ann, val_ann,
+        tmp_path_factory.mktemp("work_jax_vm"), **overrides,
+    )
+    cfg_torch.optimizer["lr"] = cfg_jax.optimizer["lr"] = 0.01
+
+    mini = TorchMiniCIL(cfg_torch)
+    assert mini.head_type == "linear" and mini.average_clips == "score"
+    init_variables = torch_init_to_variables(mini.model)
+
+    trainer = CILTrainer(cfg_jax)
+    trainer.variables = init_variables
+
+    mini.train()
+    trainer.train()
+
+    cnn_t = [np.mean(r) for r in mini.cnn_matrix]
+    cnn_j = [np.mean(r) for r in trainer.cnn_matrix]
+    nme_t = [np.mean(r) for r in mini.nme_matrix]
+    nme_j = [np.mean(r) for r in trainer.nme_matrix]
+    print("\n[video_mix] torch CNN matrix:", mini.cnn_matrix)
+    print("[video_mix] jax   CNN matrix:", trainer.cnn_matrix)
+    print("[video_mix] torch NME matrix:", mini.nme_matrix)
+    print("[video_mix] jax   NME matrix:", trainer.nme_matrix)
+    print("[video_mix] per-stage avg CNN torch/jax:", cnn_t, cnn_j)
+    print("[video_mix] per-stage avg NME torch/jax:", nme_t, nme_j)
+
+    for series in (cnn_t, cnn_j, nme_t, nme_j):
+        for v in series:
+            assert 30.0 <= v <= 95.0, (cnn_t, cnn_j, nme_t, nme_j)
+
+    # wider than the icarl bound: the tubemix draws themselves cannot match
+    # across frameworks, so this comparison carries augmentation-realization
+    # variance on top of the cross-framework fp divergence
+    for a, b in zip(cnn_t, cnn_j):
+        assert abs(a - b) <= 15.0, (cnn_t, cnn_j)
+    for a, b in zip(nme_t, nme_j):
+        assert abs(a - b) <= 15.0, (nme_t, nme_j)

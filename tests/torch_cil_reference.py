@@ -67,35 +67,59 @@ def lsc_nca_loss_torch(
 
 
 class TorchCILModel(torch.nn.Module):
-    """R18-TSM backbone + LSC cosine-proxy head (reference tsm.py:20-64 +
-    cosine_linear.py:6-55), with the KD taps the protocol needs."""
+    """R18-TSM backbone + growable classifier (reference tsm.py:20-64), with
+    the KD taps the protocol needs. ``head_type='lsc'`` is the cosine-proxy
+    LSC head (cosine_linear.py:6-55); ``'linear'`` is the IncrementalNet
+    plain linear head (inc_net.py:6-37) the iCaRL configs use."""
 
-    def __init__(self, num_classes: int, num_segments: int, nb_proxies: int = 1):
+    def __init__(
+        self, num_classes: int, num_segments: int, nb_proxies: int = 1,
+        head_type: str = "lsc",
+    ):
         super().__init__()
         self.backbone = TorchResNet18TSM(num_segments=num_segments)
         self.num_segments = num_segments
         self.num_classes = num_classes
         self.nb_proxies = nb_proxies
-        self.fc_weights = torch.nn.Parameter(
-            torch.empty(num_classes, nb_proxies * 512)
-        )
-        torch.nn.init.kaiming_normal_(self.fc_weights)
-        self.eta = torch.nn.Parameter(torch.ones(1))
+        self.head_type = head_type
+        if head_type == "linear":
+            # IncrementalNet.reset_parameters (inc_net.py:19-21)
+            self.fc_weights = torch.nn.Parameter(torch.empty(num_classes, 512))
+            torch.nn.init.kaiming_uniform_(self.fc_weights, nonlinearity="linear")
+            self.fc_bias = torch.nn.Parameter(torch.zeros(num_classes))
+        else:
+            self.fc_weights = torch.nn.Parameter(
+                torch.empty(num_classes, nb_proxies * 512)
+            )
+            torch.nn.init.kaiming_normal_(self.fc_weights)
+            self.eta = torch.nn.Parameter(torch.ones(1))
 
     def grow(self, new_num_classes: int) -> None:
-        """update_fc: copy old rows, kaiming-normal new (cosine_linear.py:46-48)."""
+        """update_fc: copy old rows, kaiming-normal new rows with
+        nonlinearity='linear' — std 1/sqrt(fan_in), NOT the default
+        leaky_relu gain (cosine_linear.py:47 / inc_net.py:26; bias rows
+        zeroed). The gain matters for iCaRL: the prev model's grown rows
+        feed its softmax soft targets, so oversized rows skew the old-class
+        target mass."""
         old = self.fc_weights.data
         new_w = torch.empty(new_num_classes, old.shape[1])
-        torch.nn.init.kaiming_normal_(new_w)
+        torch.nn.init.kaiming_normal_(new_w, nonlinearity="linear")
         new_w[: old.shape[0]] = old
         self.fc_weights = torch.nn.Parameter(new_w)
+        if self.head_type == "linear":
+            new_b = torch.zeros(new_num_classes)
+            new_b[: old.shape[0]] = self.fc_bias.data
+            self.fc_bias = torch.nn.Parameter(new_b)
         self.num_classes = new_num_classes
 
     def forward(self, x: torch.Tensor) -> Dict[str, torch.Tensor]:
         """x: (B*M, 3, H, W). Returns per-group scores/repr + KD taps."""
         taps = self.backbone(x)
         pooled = taps["layer4"].mean(dim=(2, 3))  # (B*M, C)
-        scores = lsc_scores(pooled, self.fc_weights, self.num_classes, self.nb_proxies)
+        if self.head_type == "linear":
+            scores = F.linear(pooled, self.fc_weights, self.fc_bias)
+        else:
+            scores = lsc_scores(pooled, self.fc_weights, self.num_classes, self.nb_proxies)
         t = self.num_segments
         return {
             "cls_score": scores.view(-1, t, scores.shape[-1]).mean(dim=1),  # (B*G, nc)
@@ -108,6 +132,42 @@ class TorchCILModel(torch.nn.Module):
                 "cls_head.avg_pool": pooled,
             },
         }
+
+
+def tubemix_torch(
+    rng: np.random.Generator,
+    x: torch.Tensor,
+    targets: torch.Tensor,
+    num_segments: int,
+    alpha: float,
+    prob: float,
+):
+    """Tube-CutMix on a (B*M, 3, H, W) frame batch — the reference
+    icarl_video_mix.py:48-81 semantics (one box + one permutation per batch,
+    applied to every frame; lam recomputed from the clipped box area).
+    Randomness comes from ``rng`` (numpy): cross-framework draws cannot match
+    the jax step's on-device RNG, so the parity comparison is at the level of
+    the shared augmentation *distribution*, like the data-order-identical
+    protocol tests treat dropout."""
+    bm, c, h, w = x.shape
+    b = bm // num_segments
+    if rng.uniform() <= 1.0 - prob:
+        return x, targets
+    perm = rng.permutation(b)
+    lam0 = rng.beta(alpha, alpha)
+    cut_rat = float(np.sqrt(1.0 - lam0))
+    cut_w, cut_h = int(w * cut_rat), int(h * cut_rat)
+    cx, cy = int(rng.integers(0, w)), int(rng.integers(0, h))
+    x1 = int(np.clip(cx - cut_w // 2, 0, w))
+    y1 = int(np.clip(cy - cut_h // 2, 0, h))
+    x2 = int(np.clip(cx + cut_w // 2, 0, w))
+    y2 = int(np.clip(cy + cut_h // 2, 0, h))
+
+    clips = x.view(b, num_segments, c, h, w).clone()
+    clips[:, :, :, y1:y2, x1:x2] = clips[perm][:, :, :, y1:y2, x1:x2]
+    lam = 1.0 - (x2 - x1) * (y2 - y1) / (h * w)
+    mixed_targets = targets * lam + targets[perm] * (1.0 - lam)
+    return clips.view(bm, c, h, w), mixed_targets
 
 
 def _to_torch_frames(imgs: np.ndarray) -> torch.Tensor:
@@ -133,6 +193,21 @@ class TorchMiniCIL:
         )
         self.num_segments = config.model["backbone"]["num_segments"]
         nb_proxies = config.model["cls_head"]["inc_head_config"].get("nb_proxies", 1)
+        # 'base' = LwF-style feature KD (cil.py:512-556); 'icarl' = soft-target
+        # CE with prev-model softmax for old-class samples (icarl.py:97-130)
+        self.method = config.get("methods", "base")
+        head_cfg_type = config.model["cls_head"]["inc_head_config"].get(
+            "type", "LocalSimilarityClassifier"
+        )
+        self.head_type = (
+            "linear" if head_cfg_type in ("SimpleLinear", "IncrementalNet") else "lsc"
+        )
+        # the reference forces raw-score clip averaging for iCaRL (icarl.py:34),
+        # mirrored by CILTrainer
+        self.average_clips = (
+            "score" if self.method in ("icarl", "icarl_video_mix")
+            else config.model.get("test_cfg", {}).get("average_clips", "prob")
+        )
         self.kd_names = list(config.get("kd_modules_names", []))
         self.kd_weights = list(config.get("kd_weight_by_module", []))
         self.kd_scales = list(config.get("adaptive_scale_factors", []))
@@ -148,7 +223,7 @@ class TorchMiniCIL:
 
         self.t = 0
         nc0 = self.num_classes(0)
-        self.model = TorchCILModel(nc0, self.num_segments, nb_proxies)
+        self.model = TorchCILModel(nc0, self.num_segments, nb_proxies, self.head_type)
         self.prev_model: Optional[TorchCILModel] = None
 
         self.data_module.generate_annotation_file()
@@ -175,13 +250,20 @@ class TorchMiniCIL:
                 {"params": conv_w, "lr": lr, "weight_decay": wd},
                 {"params": bn_p, "lr": lr, "weight_decay": 0.0},
             ]
-        groups += [
-            {"params": [self.model.fc_weights, self.model.eta], "lr": lr * s,
-             "weight_decay": wd},
-        ]
-        return groups, ([] if freeze_backbone else conv_w + bn_p) + [
-            self.model.fc_weights, self.model.eta
-        ]
+        if self.head_type == "linear":
+            # classifier bias at 2*scale x lr, no decay (optim.py policy /
+            # tsm.py classifier-bias rule)
+            head = [self.model.fc_weights, self.model.fc_bias]
+            groups += [
+                {"params": [self.model.fc_weights], "lr": lr * s, "weight_decay": wd},
+                {"params": [self.model.fc_bias], "lr": lr * 2 * s, "weight_decay": 0.0},
+            ]
+        else:
+            head = [self.model.fc_weights, self.model.eta]
+            groups += [
+                {"params": head, "lr": lr * s, "weight_decay": wd},
+            ]
+        return groups, ([] if freeze_backbone else conv_w + bn_p) + head
 
     def _milestones(self, sched_cfg):
         if not sched_cfg or sched_cfg.get("type") != "MultiStepLR":
@@ -202,7 +284,16 @@ class TorchMiniCIL:
         opt = torch.optim.SGD(groups, momentum=opt_cfg.get("momentum", 0.0))
         milestones, gamma = self._milestones(sched_cfg)
         sched = torch.optim.lr_scheduler.MultiStepLR(opt, milestones, gamma)
-        use_kd = self.t > 0 and bool(self.kd_names)
+        use_kd = self.t > 0 and bool(self.kd_names) and self.method == "base"
+        use_prev_targets = self.t > 0 and self.method in ("icarl", "icarl_video_mix")
+        # tubemix applies in BOTH phases: the jax trainer passes video_mix to
+        # make_train_step from the shared _fit (trainer.py:320), mirroring the
+        # reference's reuse of training_step for inc_step and CBF
+        mix_rng = (
+            np.random.default_rng([self.seed, self.t, 1 if phase == "cbf" else 0])
+            if self.method == "icarl_video_mix"
+            else None
+        )
         prev_nc = self.num_classes(self.t - 1) if self.t > 0 else 0
         scale = float(self.kd_scales[self.t]) if use_kd and self.t < len(self.kd_scales) else 1.0
 
@@ -219,10 +310,39 @@ class TorchMiniCIL:
                 sw = batch.get("sample_weight")
                 sw_t = torch.from_numpy(np.asarray(sw)).float() if sw is not None else None
                 opt.zero_grad()
-                out = self.model(x)
-                loss = lsc_nca_loss_torch(
-                    out["cls_score"], y, self.model.eta, sample_weights=sw_t
-                )
+                if self.method in ("icarl", "icarl_video_mix"):
+                    # icarl.py:97-130: CE on soft targets — one-hot for new
+                    # classes, prev-model softmax rows for old-class samples.
+                    # Order mirrors the jax step (runtime/steps.py): targets
+                    # are tubemixed FIRST, then old-class rows are replaced
+                    # with the prev model's softmax on the MIXED frames,
+                    # selected by the ORIGINAL labels.
+                    nc = self.num_classes(self.t)
+                    targets = F.one_hot(y, nc).float()
+                    if mix_rng is not None:
+                        x, targets = tubemix_torch(
+                            mix_rng, x, targets, self.num_segments,
+                            self.config.get("video_mix_alpha", 1.0),
+                            self.config.get("video_mix_prob", 0.5),
+                        )
+                    out = self.model(x)
+                    if use_prev_targets:
+                        with torch.no_grad():
+                            self.prev_model.eval()
+                            prev_scores = self.prev_model(x)["cls_score"]
+                            prev_probs = F.softmax(prev_scores, dim=1)
+                        old = y < prev_nc
+                        targets[old] = prev_probs[old]
+                    per = -(targets * F.log_softmax(out["cls_score"], dim=1)).sum(dim=1)
+                    if sw_t is not None:
+                        loss = (per * sw_t).sum() / sw_t.sum().clamp(min=1.0)
+                    else:
+                        loss = per.mean()
+                else:
+                    out = self.model(x)
+                    loss = lsc_nca_loss_torch(
+                        out["cls_score"], y, self.model.eta, sample_weights=sw_t
+                    )
                 if use_kd:
                     with torch.no_grad():
                         self.prev_model.eval()
@@ -274,7 +394,7 @@ class TorchMiniCIL:
         return pred
 
     def _averaged_scores(self, cls_score: np.ndarray) -> np.ndarray:
-        mode = self.config.model.get("test_cfg", {}).get("average_clips", "prob")
+        mode = self.average_clips
         if mode == "prob":
             e = np.exp(cls_score - cls_score.max(axis=-1, keepdims=True))
             return (e / e.sum(axis=-1, keepdims=True)).mean(axis=1)
