@@ -432,7 +432,11 @@ class CILTrainer:
         if not self.config.get("use_fast_input_pipeline", False):
             return None, None
         from ..data import native
-        from ..data.datasets import ActorCutMixDataset, BackgroundMixDataset
+        from ..data.datasets import (
+            ActorCutMixDataset,
+            BackgroundMixDataset,
+            RawframeDataset,
+        )
         from ..data.device_pipeline import FastBGMixLoader, make_fast_input_fn
 
         ds = self.data_module.train_dataset if dataset is None else dataset
@@ -441,7 +445,12 @@ class CILTrainer:
             return None, None
         if isinstance(ds, ActorCutMixDataset):
             return self._fast_acm_loader(ds)
-        if not isinstance(ds, BackgroundMixDataset):
+        # plain RawframeDataset train sets (the icarl_video_mix / icarl_noaug
+        # families) are the bgmix path minus the background: an empty bg list
+        # makes FastBGMixLoader never blend (apply_bgmix forced False), so the
+        # same loader serves both. Exact type check: an unknown subclass may
+        # carry extra augmentation the fast path doesn't implement.
+        if not isinstance(ds, BackgroundMixDataset) and type(ds) is not RawframeDataset:
             logger.info("fast input pipeline unavailable; using host pipeline")
             return None, None
 
@@ -477,7 +486,7 @@ class CILTrainer:
         )
         loader = FastBGMixLoader(
             ds.video_infos,
-            ds.bg_files,
+            getattr(ds, "bg_files", []),
             batch_size=self.config.videos_per_gpu * self.data_module.world_size,
             num_segments=self.spec.num_segments,
             crop_size=crop_size,

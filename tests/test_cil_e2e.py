@@ -491,3 +491,68 @@ def test_tencrop_eval_protocol(cil_env, tmp_path_factory):
     trainer2.cil_testing(test_nme=True)
     assert (work_dir / "cnn_result.txt").exists()
     assert (work_dir / "nme_result.txt").exists()
+
+
+def test_cil_rawframe_fast_input_video_mix(cil_env, tmp_path_factory):
+    """Fast input path for the plain-RawframeDataset train families
+    (icarl_video_mix / icarl_noaug, config_templates.py:250-266): the
+    reference's CPU chain serves every family equally, so the fast path must
+    too. The loader is FastBGMixLoader with an empty background list —
+    apply_bgmix must be False on every row, RandAugment fires per prob, and
+    the full trainer runs 2 tasks with tubemix inside the jitted step."""
+    from bdvcil_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native decoder not built")
+
+    root, frames_root, train_ann, val_ann = cil_env
+    work_dir = tmp_path_factory.mktemp("work_fast_raw")
+    raw_train = [
+        dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=T),
+        dict(type="RawFrameDecode"),
+        dict(type="Resize", scale=(-1, 64)),
+        dict(type="RandAugment", n=2, m=10, prob=0.5),
+        dict(type="MultiScaleCrop", input_size=56, scales=(1, 0.875), random_crop=False,
+             max_wh_scale_gap=1, num_fixed_crops=13),
+        dict(type="Resize", scale=(56, 56), keep_ratio=False),
+        dict(type="Normalize", mean=MEAN, std=STD),
+        dict(type="FormatShape", input_format="NHWC"),
+        dict(type="Collect", keys=["imgs", "label", "randAug"], meta_keys=[]),
+        dict(type="ToTensor", keys=["imgs", "label"]),
+    ]
+    raw_ds = lambda pipeline, **kw: dict(
+        type="RawframeDataset", ann_file="", data_prefix=str(frames_root),
+        pipeline=pipeline, **kw,
+    )
+    cfg = make_cil_config(
+        root, frames_root, train_ann, val_ann, work_dir,
+        ending_task=1, use_fast_input_pipeline=True, randAug_prob=0.5,
+        methods="icarl_video_mix", video_mix_prob=0.5, video_mix_alpha=1.0,
+        model=dict(
+            type="CILRecognizer2D",
+            backbone=dict(type="ResNetTSM", depth=18, num_segments=T, shift_div=8),
+            cls_head=dict(
+                type="IncrementalTSMHead",
+                num_classes=2,
+                in_channels=512,
+                inc_head_config=dict(type="SimpleLinear", out_features=2),
+                num_segments=T,
+                loss_cls=dict(type="CrossEntropyLoss"),
+                dropout_ratio=0.5,
+            ),
+            test_cfg=dict(average_clips="prob"),
+        ),
+    )
+    cfg.data["train"] = raw_ds(raw_train)
+    cfg.data["exemplar"] = raw_ds(raw_train)
+    trainer = CILTrainer(cfg)
+    loader, input_fn = trainer._try_fast_loader()
+    assert loader is not None and input_fn is not None
+    assert loader.bg_files == [] and loader.crop_size == 56
+    # every batch: no background blending, randaug per prob draw
+    batch = loader._make_batch(np.arange(min(4, len(loader.video_infos))))
+    assert not batch["apply_bgmix"].any()
+    trainer.train()
+    for t in range(2):
+        assert (work_dir / "ckpt" / f"ckpt_task_{t}.msgpack").exists()
+    assert trainer.variables["params"]["head"]["fc_weight"].shape[0] == 3
