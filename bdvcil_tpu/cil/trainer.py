@@ -533,14 +533,12 @@ class CILTrainer:
             resolve_wire_format,
         )
 
-        # same wire-format policy as the BGMix branch, minus 'planes' (the
-        # ACM loader ships YUV420 at most — a config asking for 'planes'
-        # gets the closest supported wire here): YUV420 planes halve the
-        # 2-clips-per-sample wire of this family when the kernel exists
-        requested = str(self.config.get("fast_input_wire_format", "auto"))
+        # same wire-format policy as the BGMix branch: YUV420 planes halve
+        # the 2-clips-per-sample wire of this family; 'planes' ships both
+        # streams at stored resolution and resizes on the MXU (the opt-in
+        # for DMA-attached production hosts, resolve_wire_format docstring)
         wire_format = resolve_wire_format(
-            "auto" if requested == "planes" else requested, 224,
-            allow_planes=False,
+            str(self.config.get("fast_input_wire_format", "auto")), 224
         )
         loader = FastACMLoader(
             ds.video_infos,

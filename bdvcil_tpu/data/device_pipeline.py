@@ -80,7 +80,7 @@ def resolve_wire_format(wire_format: str, crop_size: int, allow_planes: bool = T
     clips/s e2e (PERF_NOTES "Round 3: planes wire"). On PCIe/DMA-attached
     production hosts set fast_input_wire_format='planes' to cut steady-state
     producer CPU ~3-4x (8-18 vs 28-88 ms/batch measured). ``allow_planes``
-    gates 'planes' for loaders that don't implement it (FastACMLoader)."""
+    gates 'planes' for loaders that don't implement it (FastEvalLoader)."""
     if wire_format == "auto":
         return "yuv420" if native.has_yuv420() and crop_size % 2 == 0 else "rgb"
     if wire_format == "planes" and not allow_planes:
@@ -218,6 +218,88 @@ def identity_plane_taps(out):
     idx = np.arange(out, dtype=np.int32)
     zero = np.zeros(out, np.int32)
     return np.stack([idx, idx, zero, idx, idx, zero])
+
+
+def _pads_from_dims(dims: np.ndarray, crop: int, max_px: int) -> Tuple[int, int]:
+    """'planes'-wire pad dims for a set of stored source dims: the smallest
+    16-multiple rectangle holding every source within the per-file pixel
+    budget (over-budget outliers are host-resized instead of shipped, so they
+    don't inflate the wire), never smaller than the crop (fallback frames are
+    pasted at final geometry)."""
+    served = dims[:, 0].astype(np.int64) * dims[:, 1] <= max_px
+    w_need = int(dims[served, 0].max()) if served.any() else crop
+    h_need = int(dims[served, 1].max()) if served.any() else crop
+    return max(crop, -(-w_need // 16) * 16), max(crop, -(-h_need // 16) * 16)
+
+
+def _planes_wire_core(loader, all_paths, all_dims, all_crops, src, groups, crop):
+    """Shared 'planes'-wire assembly for the fast train loaders: fetch
+    STORED-resolution YCbCr planes padded to the loader's fixed pad dims,
+    compute ONE taps set per group of consecutive same-geometry slots
+    (a clip's frames share their resize plan), and host-resize fallback
+    slots — non-420 JPEGs, unreadable/oversized sources, squash geometry,
+    per-frame dims deviating from the clip's probed dims — to final geometry
+    at the pad origin with identity taps, so one odd file never changes any
+    pixel.
+
+    ``groups``: list of ``(slot_start, slot_count)``. Returns
+    ``(y_all, c_all, taps_y (G,6,crop), taps_c (G,6,crop//2))``.
+    """
+    half = crop // 2
+
+    # pad dims are fixed for the whole corpus by the loader's
+    # _prepare_iteration before any worker runs; this grow only fires for
+    # direct _make_batch calls outside iteration (tests). Multiples of 16
+    # keep the chroma pad even; pad >= crop so fallback frames fit.
+    pw, ph = _pads_from_dims(src, crop, loader.planes_max_px)
+    loader._pad_w = max(loader._pad_w, pw)
+    loader._pad_h = max(loader._pad_h, ph)
+    pw, ph = loader._pad_w, loader._pad_h
+
+    y_all, c_all, fdims = native.fetch_planes_batch(
+        all_paths, pw, ph, num_threads=loader.num_threads
+    )
+
+    g = len(groups)
+    taps_y = np.empty((g, 6, crop), np.int32)
+    taps_c = np.empty((g, 6, half), np.int32)
+    fb_slots: List[int] = []
+
+    def slot_ok(i):
+        return fdims[i, 0] == src[i, 0] and fdims[i, 1] == src[i, 1] and fdims[i, 0] > 0
+
+    for gi, (start, count) in enumerate(groups):
+        sw, sh = int(src[start, 0]), int(src[start, 1])
+        dw, dh = int(all_dims[start, 0]), int(all_dims[start, 1])
+        cx, cy = all_crops[start]
+        ty = plane_resize_taps(sw, sh, dw, dh, int(cx), int(cy), crop)
+        tc = plane_resize_taps(
+            (sw + 1) // 2, (sh + 1) // 2, (dw + 1) // 2, (dh + 1) // 2,
+            int(cx) // 2, int(cy) // 2, half,
+        )
+        slots = range(start, start + count)
+        if ty is None or tc is None or not all(slot_ok(i) for i in slots):
+            fb_slots.extend(slots)
+            taps_y[gi] = identity_plane_taps(crop)
+            taps_c[gi] = identity_plane_taps(half)
+        else:
+            taps_y[gi], taps_c[gi] = ty, tc
+
+    if fb_slots:
+        fy, fc = native.decode_yuv420_batch(
+            [all_paths[i] for i in fb_slots],
+            all_dims[np.array(fb_slots)],
+            crop,
+            [all_crops[i] for i in fb_slots],
+            num_threads=loader.num_threads,
+        )
+        for k, i in enumerate(fb_slots):
+            y_all[i][:] = 0
+            y_all[i][:crop, :crop] = fy[k]
+            c_all[i][:] = 0
+            c_all[i][:half, :half] = fc[k]
+
+    return y_all, c_all, taps_y, taps_c
 
 
 def _parallel_ordered_iter(batches, make, num_workers: int, prefetch: int):
@@ -680,12 +762,9 @@ class FastBGMixLoader(_EpochSpanMixin):
         ] + [(p, p) for p in self.bg_files]
         self._get_dims(probe)
         dims = np.array([self._dims[k] for k, _ in probe], np.int64).reshape(-1, 2)
-        crop = self.crop_size
-        served = dims[:, 0] * dims[:, 1] <= self.planes_max_px
-        w_need = int(dims[served, 0].max()) if served.any() else crop
-        h_need = int(dims[served, 1].max()) if served.any() else crop
-        self._pad_w = max(crop, -(-w_need // 16) * 16)
-        self._pad_h = max(crop, -(-h_need // 16) * 16)
+        self._pad_w, self._pad_h = _pads_from_dims(
+            dims, self.crop_size, self.planes_max_px
+        )
 
     def __len__(self) -> int:
         n = len(self.video_infos)
@@ -695,12 +774,8 @@ class FastBGMixLoader(_EpochSpanMixin):
         """'planes' wire: ship STORED-resolution YCbCr planes + per-clip
         resize taps; the windowed bilinear resize runs on the MXU
         (ops/augment.resize_plane_bilinear_taps), bit-identical to the host
-        C++ path. Frames the stored-plane form cannot serve — non-420 JPEGs,
-        sources over ``planes_max_px``, squash-fallback geometry, per-frame
-        dims deviating from the clip's probed dims — are host-resized to
-        final geometry (decode_yuv420_batch), pasted at the pad origin and
-        given identity taps, so one odd file never changes any pixel."""
-        half = crop // 2
+        C++ path. Frames the stored-plane form cannot serve are host-resized
+        to final geometry and given identity taps (see _planes_wire_core)."""
         n = b * t + b
 
         # per-slot source dims (frames share their video's probed dims)
@@ -710,83 +785,23 @@ class FastBGMixLoader(_EpochSpanMixin):
         for row in range(b):
             src[b * t + row] = self._dims[all_paths[b * t + row]]
 
-        # pad dims are fixed for the whole corpus by _prepare_iteration before
-        # any worker runs; this grow only fires for direct _make_batch calls
-        # outside iteration (tests). multiples of 16 keep the chroma pad even;
-        # pad >= crop so fallback frames (final geometry) fit at the origin.
-        served = src[:, 0].astype(np.int64) * src[:, 1] <= self.planes_max_px
-        w_need = int(src[served, 0].max()) if served.any() else crop
-        h_need = int(src[served, 1].max()) if served.any() else crop
-        self._pad_w = max(self._pad_w, crop, -(-w_need // 16) * 16)
-        self._pad_h = max(self._pad_h, crop, -(-h_need // 16) * 16)
-        pw, ph = self._pad_w, self._pad_h
-
-        y_all, c_all, fdims = native.fetch_planes_batch(
-            all_paths, pw, ph, num_threads=self.num_threads
+        groups = [(row * t, t) for row in range(b)] + [
+            (b * t + row, 1) for row in range(b)
+        ]
+        y_all, c_all, taps_y, taps_c = _planes_wire_core(
+            self, all_paths, all_dims, all_crops, src, groups, crop
         )
-
-        taps_y = np.empty((b, 6, crop), np.int32)
-        taps_c = np.empty((b, 6, half), np.int32)
-        bg_taps_y = np.empty((b, 6, crop), np.int32)
-        bg_taps_c = np.empty((b, 6, half), np.int32)
-        fb_slots: List[int] = []
-
-        def slot_ok(i):
-            return fdims[i, 0] == src[i, 0] and fdims[i, 1] == src[i, 1] and fdims[i, 0] > 0
-
-        def taps_for(i):
-            sw, sh = int(src[i, 0]), int(src[i, 1])
-            dw, dh = int(all_dims[i, 0]), int(all_dims[i, 1])
-            cx, cy = all_crops[i]
-            ty = plane_resize_taps(sw, sh, dw, dh, int(cx), int(cy), crop)
-            tc = plane_resize_taps(
-                (sw + 1) // 2, (sh + 1) // 2, (dw + 1) // 2, (dh + 1) // 2,
-                int(cx) // 2, int(cy) // 2, half,
-            )
-            return ty, tc
-
-        for row in range(b):
-            ty, tc = taps_for(row * t)
-            clip_slots = range(row * t, (row + 1) * t)
-            if ty is None or tc is None or not all(slot_ok(i) for i in clip_slots):
-                fb_slots.extend(clip_slots)
-                taps_y[row] = identity_plane_taps(crop)
-                taps_c[row] = identity_plane_taps(half)
-            else:
-                taps_y[row], taps_c[row] = ty, tc
-        for row in range(b):
-            i = b * t + row
-            ty, tc = taps_for(i)
-            if ty is None or tc is None or not slot_ok(i):
-                fb_slots.append(i)
-                bg_taps_y[row] = identity_plane_taps(crop)
-                bg_taps_c[row] = identity_plane_taps(half)
-            else:
-                bg_taps_y[row], bg_taps_c[row] = ty, tc
-
-        if fb_slots:
-            fy, fc = native.decode_yuv420_batch(
-                [all_paths[i] for i in fb_slots],
-                all_dims[np.array(fb_slots)],
-                crop,
-                [all_crops[i] for i in fb_slots],
-                num_threads=self.num_threads,
-            )
-            for k, i in enumerate(fb_slots):
-                y_all[i][:] = 0
-                y_all[i][:crop, :crop] = fy[k]
-                c_all[i][:] = 0
-                c_all[i][:half, :half] = fc[k]
+        pw, ph = self._pad_w, self._pad_h
 
         return {
             "imgs_y": y_all[: b * t].reshape(b, t, ph, pw),
             "imgs_c": c_all[: b * t].reshape(b, t, ph // 2, pw // 2, 2),
             "bg_y": y_all[b * t :],
             "bg_c": c_all[b * t :],
-            "imgs_taps_y": taps_y,
-            "imgs_taps_c": taps_c,
-            "bg_taps_y": bg_taps_y,
-            "bg_taps_c": bg_taps_c,
+            "imgs_taps_y": taps_y[:b],
+            "imgs_taps_c": taps_c[:b],
+            "bg_taps_y": taps_y[b:],
+            "bg_taps_c": taps_c[b:],
         }
 
     # -- batch assembly ----------------------------------------------------
@@ -997,7 +1012,10 @@ class FastACMLoader(_EpochSpanMixin):
     'background_label' (B,1) i64, 'sample_weight' (B,) f32 when padded}.
     With ``wire_format='yuv420'`` the two pixel tensors are replaced by
     'imgs_y'/'imgs_c' + 'scene_y'/'scene_c' (half the wire bytes; the input
-    fn reconstructs RGB in-graph — see resolve_wire_format).
+    fn reconstructs RGB in-graph — see resolve_wire_format). With
+    ``'planes'`` both streams ship STORED-resolution planes plus per-clip
+    taps ('imgs_taps_*'/'scene_taps_*') and the windowed resize runs on the
+    MXU, so a warm plane-cache epoch costs the host only memcpys.
 
     ACM rows decode 2 clips, so host decode demand is ~2x the BGMix family's;
     non-ACM rows get a zeros scene placeholder (masked out on device).
@@ -1026,11 +1044,11 @@ class FastACMLoader(_EpochSpanMixin):
         num_workers: int = 1,
         process_index: int = None,
         process_count: int = None,
-        wire_format: str = "rgb",  # 'rgb' | 'yuv420' | 'auto' (no 'planes' yet)
+        wire_format: str = "rgb",  # 'rgb' | 'yuv420' | 'planes' | 'auto'
     ):
         if not native.available():
             raise RuntimeError("native decoder unavailable; use the standard DataLoader")
-        self.wire_format = resolve_wire_format(wire_format, crop_size, allow_planes=False)
+        self.wire_format = resolve_wire_format(wire_format, crop_size)
         self.video_infos = list(video_infos)
         self.batch_size = batch_size
         if process_count is None:
@@ -1078,9 +1096,34 @@ class FastACMLoader(_EpochSpanMixin):
         self.epoch = 0
         self.sampler = SampleFrames(clip_len=1, frame_interval=1, num_clips=num_segments)
         self._dims: Dict[str, tuple] = {}
+        # 'planes' wire state — same contract as FastBGMixLoader
+        self._pad_w = self._pad_h = 0
+        import os as _os
+
+        self.planes_max_px = int(_os.environ.get("BDVC_PLANES_MAX_PX", str(512 * 512)))
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+
+    def _prepare_iteration(self) -> None:
+        """Fix 'planes' pad dims from the WHOLE corpus on the main thread
+        before workers spawn (scene clips are drawn from the same corpus, so
+        one probe covers both streams) — see FastBGMixLoader._prepare_iteration
+        for why the pad must be a pure function of the dataset."""
+        if self.wire_format != "planes" or self._pad_w:
+            return
+        probe = [
+            (
+                info["frame_dir"],
+                osp.join(info["frame_dir"], self.filename_tmpl.format(self.start_index)),
+            )
+            for info in self.video_infos
+        ]
+        self._get_dims(probe)
+        dims = np.array([self._dims[k] for k, _ in probe], np.int64).reshape(-1, 2)
+        self._pad_w, self._pad_h = _pads_from_dims(
+            dims, self.crop_size, self.planes_max_px
+        )
 
     def __len__(self) -> int:
         n = len(self.video_infos)
@@ -1173,6 +1216,7 @@ class FastACMLoader(_EpochSpanMixin):
         crops: List = []
         resize_dims = np.empty((b * t, 2), np.int32)
         scene_rows: List = []  # (row, paths) for the second decode
+        scene_src: List = []  # (w, h) probed dims per scene row ('planes' wire)
         for row, info, frame_inds, rng, scene_info, scene_frame_inds in rows:
             vw, vh = self._dims[info["frame_dir"]]
             if apply_acm[row]:
@@ -1219,6 +1263,7 @@ class FastACMLoader(_EpochSpanMixin):
                         for fi in scene_frame_inds
                     ],
                 ))
+                scene_src.append((sw, sh))
             else:
                 rdims, off, _ = plan_train_geometry(
                     rng, vw, vh, input_size=crop, short_side=self.short_side,
@@ -1241,7 +1286,49 @@ class FastACMLoader(_EpochSpanMixin):
             [resize_dims, np.tile(np.array([crop, crop], np.int32), (len(spaths), 1))]
         )
         all_crops = crops + [(0, 0)] * len(spaths)
-        if self.wire_format == "yuv420":
+        if self.wire_format == "planes":
+            # STORED-resolution planes + per-clip taps for BOTH streams; the
+            # device resizes on the MXU then composites. Scene-less rows ship
+            # zero planes + identity taps (masked out on device either way).
+            half = crop // 2
+            n_scene = len(scene_rows)
+            src = np.empty((b * t + n_scene * t, 2), np.int32)
+            for row, idx in enumerate(indices):
+                src[row * t : (row + 1) * t] = self._dims[
+                    self.video_infos[int(idx)]["frame_dir"]
+                ]
+            for i, (sw, sh) in enumerate(scene_src):
+                src[b * t + i * t : b * t + (i + 1) * t] = (sw, sh)
+            groups = [(row * t, t) for row in range(b)] + [
+                (b * t + i * t, t) for i in range(n_scene)
+            ]
+            y_all, c_all, taps_y, taps_c = _planes_wire_core(
+                self, all_paths, all_dims, all_crops, src, groups, crop
+            )
+            pw, ph = self._pad_w, self._pad_h
+            scene_y = np.zeros((b, t, ph, pw), np.uint8)
+            scene_c = np.zeros((b, t, ph // 2, pw // 2, 2), np.uint8)
+            scene_ty = np.tile(identity_plane_taps(crop)[None], (b, 1, 1))
+            scene_tc = np.tile(identity_plane_taps(half)[None], (b, 1, 1))
+            if n_scene:
+                sy = y_all[b * t :].reshape(n_scene, t, ph, pw)
+                sc = c_all[b * t :].reshape(n_scene, t, ph // 2, pw // 2, 2)
+                for i, (row, _) in enumerate(scene_rows):
+                    scene_y[row] = sy[i]
+                    scene_c[row] = sc[i]
+                    scene_ty[row] = taps_y[b + i]
+                    scene_tc[row] = taps_c[b + i]
+            pixels = {
+                "imgs_y": y_all[: b * t].reshape(b, t, ph, pw),
+                "imgs_c": c_all[: b * t].reshape(b, t, ph // 2, pw // 2, 2),
+                "imgs_taps_y": taps_y[:b],
+                "imgs_taps_c": taps_c[:b],
+                "scene_y": scene_y,
+                "scene_c": scene_c,
+                "scene_taps_y": scene_ty,
+                "scene_taps_c": scene_tc,
+            }
+        elif self.wire_format == "yuv420":
             half = crop // 2
             y, c = native.decode_yuv420_batch(
                 all_paths, all_dims, crop, all_crops, num_threads=self.num_threads
@@ -1308,16 +1395,31 @@ def make_fast_acm_input_fn(
     (prob 1, reference actor_cut_mix_loader.py:92-103); ACM rows get
     per-clip flips then the box-mask composite (ops/augment.acm_composite).
     With ``wire_format='yuv420'`` the batch carries the loader's YUV planes
-    and both clips' RGB is reconstructed in-graph first — must match the
-    loader's wire_format."""
+    and both clips' RGB is reconstructed in-graph first; with ``'planes'``
+    both streams are tap-resized on the MXU before reconstruction — must
+    match the loader's wire_format."""
     import jax
     import jax.numpy as jnp
 
-    from ..ops.augment import acm_composite, normalize_batch, yuv420_to_rgb
+    from ..ops.augment import (
+        acm_composite,
+        normalize_batch,
+        resize_plane_bilinear_taps,
+        yuv420_to_rgb,
+    )
     from ..ops.rand_augment_dev import rand_augment_batch
 
     def input_fn(batch):
-        if wire_format == "yuv420":
+        if wire_format == "planes":
+            crop = batch["imgs_taps_y"].shape[-1]
+            half = batch["imgs_taps_c"].shape[-1]
+            y = resize_plane_bilinear_taps(batch["imgs_y"], batch["imgs_taps_y"], crop)
+            c = resize_plane_bilinear_taps(batch["imgs_c"], batch["imgs_taps_c"], half)
+            imgs = yuv420_to_rgb(y, c)
+            sy = resize_plane_bilinear_taps(batch["scene_y"], batch["scene_taps_y"], crop)
+            sc = resize_plane_bilinear_taps(batch["scene_c"], batch["scene_taps_c"], half)
+            scene_u8 = yuv420_to_rgb(sy, sc)
+        elif wire_format == "yuv420":
             imgs = yuv420_to_rgb(batch["imgs_y"], batch["imgs_c"])
             scene_u8 = yuv420_to_rgb(batch["scene_y"], batch["scene_c"])
         else:

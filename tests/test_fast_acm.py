@@ -306,6 +306,56 @@ def test_fast_acm_yuv_wire_matches_rgb(tmp_path):
             np.testing.assert_array_equal(m_rgb[k], m_yuv[k])
 
 
+def test_fast_acm_planes_wire_bit_identical_to_yuv420(tmp_path):
+    """'planes' wire for the ACM family: BOTH streams ship stored-resolution
+    planes + per-clip taps, the device resizes on the MXU
+    (ops/augment.resize_plane_bilinear_taps is bit-identical to the host
+    windowed resize), so the jitted input_fn output must equal the yuv420
+    wire exactly — on a mixed batch exercising anisotropic ACM resizes
+    ((64,48)->(32,32)), MSC-geometry non-ACM rows, scene rows, and
+    scene-less rows (zero planes + identity taps)."""
+    import jax
+
+    pytest.importorskip("cv2")
+    from bdvcil_tpu.data import native
+
+    if not (native.available() and native.has_fetch_planes() and native.has_yuv420()):
+        pytest.skip("native decoder without fetch_planes kernel")
+
+    infos = _make_acm_tree(tmp_path, size=(48, 64))
+
+    def make(wire, prob, epoch=0):
+        loader = FastACMLoader(
+            infos, batch_size=4, num_segments=4, crop_size=32, acm_prob=prob,
+            seed=2, drop_last=True, process_index=0, process_count=1,
+            wire_format=wire,
+        )
+        loader._prepare_iteration()
+        loader.set_epoch(epoch)
+        return loader, next(iter(loader))
+
+    strip = ("label", "foreground_ratio", "background_label")
+    for prob in (1.0, 0.5, 0.0):
+        _, b_yuv = make("yuv420", prob)
+        loader_pl, b_pl = make("planes", prob)
+        assert "imgs_taps_y" in b_pl and "scene_taps_y" in b_pl
+        # non-pixel metadata is wire-independent (same rng stream)
+        for k in b_yuv:
+            if k not in ("imgs_y", "imgs_c", "scene_y", "scene_c"):
+                np.testing.assert_array_equal(b_yuv[k], b_pl[k])
+        out_yuv = np.asarray(
+            jax.jit(make_fast_acm_input_fn(wire_format="yuv420"))(
+                {k: jnp.asarray(v) for k, v in b_yuv.items() if k not in strip}
+            )
+        )
+        out_pl = np.asarray(
+            jax.jit(make_fast_acm_input_fn(wire_format="planes"))(
+                {k: jnp.asarray(v) for k, v in b_pl.items() if k not in strip}
+            )
+        )
+        np.testing.assert_array_equal(out_yuv, out_pl)
+
+
 @pytest.mark.slow
 def test_cil_acm_fast_path_e2e(tmp_path_factory):
     """Full CILTrainer run over the ActorCutMix family with

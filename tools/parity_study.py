@@ -1,0 +1,227 @@
+"""Multi-seed torch-vs-jax full-protocol CIL parity study.
+
+The slow-tier parity tests (tests/test_protocol_parity.py) pin single-seed
+agreement within a tolerance sized for one chaotic realization. This study
+addresses the BASELINE.md accuracy north star (UCF101 10-stage final average
+within 0.5 pts of the reference, cil.py:800-860 tables) at the level that
+statement is actually about: the SYSTEMATIC cross-framework bias, not the
+per-realization spread. N paired runs — same synthetic tree, same per-seed
+init (torch init converted to jax), same data order — give per-stage
+mean(jax - torch) with a standard error that shrinks ~1/sqrt(N); a
+systematic bias near zero with a tight SE is the strongest accuracy-parity
+evidence this no-real-data environment permits.
+
+Usage:
+    python tools/parity_study.py --seeds 5 --method base --out parity_study.json
+
+Reuses the EXACT test harness (make_parity_config / TorchMiniCIL /
+torch_init_to_variables) so the studied protocol cannot drift from the
+tested one.
+"""
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+if jax.__version__:  # force CPU even when a TPU plugin is registered
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+import numpy as np
+import torch
+
+
+def run_pair(tree, work_root: pathlib.Path, method: str, seed: int):
+    """One paired (torch, jax) full-protocol run: same tree, same init, same
+    data order. Returns per-stage average CNN/NME accuracies for both."""
+    from bdvcil_tpu.cil import CILTrainer
+    from tests.test_protocol_parity import make_parity_config, torch_init_to_variables
+    from tests.torch_cil_reference import TorchMiniCIL
+
+    root, frames_root, train_ann, val_ann = tree
+    overrides = dict(seed=seed)
+    if method == "icarl":
+        overrides.update(
+            methods="icarl",
+            model=_icarl_model(),
+            num_epochs_per_task=24,
+        )
+    elif method == "icarl_video_mix":
+        overrides.update(
+            methods="icarl_video_mix",
+            model=_icarl_model(),
+            num_epochs_per_task=24,
+            video_mix_prob=0.25,
+            video_mix_alpha=1.0,
+        )
+
+    cfg_torch = make_parity_config(
+        root, frames_root, train_ann, val_ann, _mkdir(work_root, f"torch_s{seed}"),
+        **overrides,
+    )
+    cfg_jax = make_parity_config(
+        root, frames_root, train_ann, val_ann, _mkdir(work_root, f"jax_s{seed}"),
+        **overrides,
+    )
+    if method in ("icarl", "icarl_video_mix"):
+        cfg_torch.optimizer["lr"] = cfg_jax.optimizer["lr"] = 0.01
+
+    torch.manual_seed(seed)  # per-seed init; converted so both sides share it
+    mini = TorchMiniCIL(cfg_torch)
+    init_variables = torch_init_to_variables(mini.model)
+
+    trainer = CILTrainer(cfg_jax)
+    trainer.variables = init_variables
+
+    t0 = time.time()
+    mini.train()
+    t_torch = time.time() - t0
+    t0 = time.time()
+    trainer.train()
+    t_jax = time.time() - t0
+
+    return dict(
+        seed=seed,
+        cnn_torch=[float(np.mean(r)) for r in mini.cnn_matrix],
+        cnn_jax=[float(np.mean(r)) for r in trainer.cnn_matrix],
+        nme_torch=[float(np.mean(r)) for r in mini.nme_matrix],
+        nme_jax=[float(np.mean(r)) for r in trainer.nme_matrix],
+        cnn_matrix_torch=_tolist(mini.cnn_matrix),
+        cnn_matrix_jax=_tolist(trainer.cnn_matrix),
+        nme_matrix_torch=_tolist(mini.nme_matrix),
+        nme_matrix_jax=_tolist(trainer.nme_matrix),
+        wall_torch_s=round(t_torch, 1),
+        wall_jax_s=round(t_jax, 1),
+    )
+
+
+def _tolist(matrix):
+    return [[float(v) for v in row] for row in matrix]
+
+
+def _icarl_model():
+    from tests.test_protocol_parity import T
+
+    return dict(
+        type="CILRecognizer2D",
+        backbone=dict(type="ResNetTSM", depth=18, num_segments=T, shift_div=8,
+                      norm_eval=False),
+        cls_head=dict(
+            type="IncrementalTSMHead",
+            num_classes=2,
+            in_channels=512,
+            inc_head_config=dict(type="SimpleLinear", out_features=2),
+            num_segments=T,
+            loss_cls=dict(type="CrossEntropyLoss"),
+            dropout_ratio=0.0,
+        ),
+        test_cfg=dict(average_clips="prob"),
+    )
+
+
+def _mkdir(root: pathlib.Path, name: str) -> pathlib.Path:
+    p = root / name
+    p.mkdir(parents=True, exist_ok=True)
+    return p
+
+
+def make_tree(root: pathlib.Path):
+    """The tests' tuned discriminative tree (test_protocol_parity.parity_tree),
+    built outside pytest."""
+    import cv2
+
+    from tests.synthetic import make_learnable_rawframe_tree
+    from tests.test_protocol_parity import NUM_CLASSES
+
+    frames_root, train_ann, val_ann = make_learnable_rawframe_tree(
+        root, num_classes=NUM_CLASSES, train_videos_per_class=6,
+        val_videos_per_class=6, num_frames=8, size=(64, 80), seed=3,
+        noise=60, video_jitter=42, palette_lo=85, palette_hi=170,
+        val_jitter=80, extra_val_videos_per_class=18,
+    )
+    bg_dir = root / "bg"
+    bg_dir.mkdir(exist_ok=True)
+    rng = np.random.default_rng(11)
+    for i in range(6):
+        cv2.imwrite(str(bg_dir / f"bg{i}.jpg"),
+                    rng.integers(0, 255, size=(64, 80, 3)).astype(np.uint8))
+    return root, frames_root, train_ann, val_ann
+
+
+def summarize(results):
+    """Per-stage mean/SE of the paired deltas (jax - torch), plus the final
+    stage in isolation (the north star is the FINAL average accuracy)."""
+    n_stages = len(results[0]["cnn_torch"])
+    out = {}
+    for metric in ("cnn", "nme"):
+        deltas = np.array(
+            [[r[f"{metric}_jax"][s] - r[f"{metric}_torch"][s] for s in range(n_stages)]
+             for r in results]
+        )  # (n_seeds, n_stages)
+        out[metric] = dict(
+            per_stage_mean_delta=[round(float(m), 2) for m in deltas.mean(axis=0)],
+            per_stage_se=[round(float(s), 2)
+                          for s in deltas.std(axis=0, ddof=1) / np.sqrt(len(deltas))]
+            if len(deltas) > 1 else None,
+            final_stage_mean_delta=round(float(deltas[:, -1].mean()), 2),
+            final_stage_se=round(float(deltas[:, -1].std(ddof=1) / np.sqrt(len(deltas))), 2)
+            if len(deltas) > 1 else None,
+            per_seed_final_delta=[round(float(d), 2) for d in deltas[:, -1]],
+        )
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=5, help="number of paired runs")
+    ap.add_argument("--first_seed", type=int, default=0)
+    ap.add_argument("--method", default="base",
+                    choices=["base", "icarl", "icarl_video_mix"])
+    ap.add_argument("--out", default="parity_study.json")
+    ap.add_argument("--data_root", default=None,
+                    help="reuse an existing study tree (default: fresh tmpdir)")
+    args = ap.parse_args()
+
+    if args.data_root:
+        data_root = pathlib.Path(args.data_root)
+        data_root.mkdir(parents=True, exist_ok=True)
+    else:
+        data_root = pathlib.Path(tempfile.mkdtemp(prefix="parity_study_"))
+    tree = make_tree(data_root)
+    work_root = data_root / "work"
+
+    results = []
+    for i in range(args.seeds):
+        seed = args.first_seed + i
+        print(f"[parity_study] seed {seed} ({i + 1}/{args.seeds}) ...", flush=True)
+        r = run_pair(tree, work_root, args.method, seed)
+        results.append(r)
+        print(f"[parity_study] seed {seed}: "
+              f"CNN torch={r['cnn_torch']} jax={r['cnn_jax']} | "
+              f"NME torch={r['nme_torch']} jax={r['nme_jax']} "
+              f"({r['wall_torch_s']}s torch, {r['wall_jax_s']}s jax)", flush=True)
+        # incremental dump so a killed run still leaves evidence
+        payload = dict(method=args.method, n_seeds=len(results), runs=results,
+                       summary=summarize(results))
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
+
+    print(json.dumps(payload["summary"], indent=1))
+    print(f"[parity_study] wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
