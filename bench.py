@@ -168,7 +168,7 @@ def _measure_e2e_windows(run_epochs, steps_per_epoch):
     import jax
 
     measure_epochs = max(2, -(-int(os.environ.get("BENCH_E2E_STEPS", "40")) // max(1, steps_per_epoch)))
-    n_windows = max(1, int(os.environ.get("BENCH_E2E_WINDOWS", "3")))
+    n_windows = max(1, int(os.environ.get("BENCH_E2E_WINDOWS", "5")))
     run_epochs(0, 1)
     window_rates = []
     for w in range(n_windows):
@@ -189,9 +189,10 @@ def bench_train_e2e(print_json=True):
     with the YUV wire + decoded-plane cache + epoch-spanning producer), not
     the fused-step device bound (~140 clips/s). Real v5e host VMs have ~26
     vCPUs per chip; the C++ decode pool scales linearly with cores while the
-    per-clip decode demand stays fixed. Reports the median of 3 independent
+    per-clip decode demand stays fixed. Reports the median of 5 independent
     >=40-step steady-state windows (external CPU bursts on the shared box
-    are one-sided noise)."""
+    are one-sided noise; 5 windows tolerate 2 noise-hit windows where 3
+    tolerated 1 — measured same-session window spreads reach 62-86)."""
     import time
 
     import jax
