@@ -304,19 +304,38 @@ def _run_inference_multiprocess(
     scores: List[np.ndarray] = []
     labels_out: List[np.ndarray] = []
     reprs: List[np.ndarray] = []
-    for batch in loader:
-        put = shard_batch(
+
+    def _prep(batch):
+        """Assemble the global sharded batch (runs in the prefetch thread —
+        the same overlap train_epochs uses; loaders pad globally and feed
+        each process its local rows, so no extra padding here)."""
+        return shard_batch(
             {
                 "imgs": np.asarray(batch["imgs"]),
                 "label": np.asarray(batch["label"]).reshape(-1),
             },
             mesh,
         )
-        out = eval_step(variables, put["imgs"])
+
+    def _drain(entry):
+        out, label = entry
         scores.append(gather_to_host(out["cls_score"], mesh))
-        labels_out.append(gather_to_host(put["label"], mesh))
+        labels_out.append(gather_to_host(label, mesh))
         if extract_repr:
             reprs.append(gather_to_host(out["repr"], mesh))
+
+    # same pipeline shape as the single-process path: materializing batch
+    # i's gathered outputs happens after batch i+1's forward is dispatched.
+    # Every process runs the identical loop, so the deferred all-gather
+    # collectives stay in the same order on all processes.
+    pending = None
+    for put in prefetch_to_device(loader, size=2, put_fn=_prep):
+        out = eval_step(variables, put["imgs"])
+        if pending is not None:
+            _drain(pending)
+        pending = (out, put["label"])
+    if pending is not None:
+        _drain(pending)
 
     n_valid = getattr(loader, "num_valid", None)
     if n_valid is None and hasattr(loader, "dataset"):
