@@ -454,10 +454,30 @@ class CILTrainer:
             logger.info("fast input pipeline unavailable; using host pipeline")
             return None, None
 
-        # derive crop geometry from the configured train pipeline
+        randaug_prob = float(self.config.get("randAug_prob", 0.75))
+        # the fast path implements exactly the canonical train chain; any
+        # other pipeline content (Flip, ColorJitter, different RandAugment
+        # hyperparameters, ...) must keep the host pipeline — a silent drop
+        # would train on a different augmentation distribution
+        from ..data.device_pipeline import fast_pipeline_mismatch
+
+        mismatch = fast_pipeline_mismatch(
+            self.config.data.train.get("pipeline", []),
+            num_segments=self.spec.num_segments,
+            randaug_prob=randaug_prob,
+        )
+        if mismatch is not None:
+            logger.warning(
+                "fast input pipeline declined (%s); using host pipeline", mismatch
+            )
+            return None, None
+
+        # derive crop geometry + normalization from the configured train pipeline
         crop_size = 224
         short_side = None
         msc_scales = (1.0, 0.875, 0.75, 0.66)
+        norm_mean = (123.675, 116.28, 103.53)
+        norm_std = (58.395, 57.12, 57.375)
         for op in self.config.data.train.get("pipeline", []):
             if op.get("type") == "MultiScaleCrop":
                 size = op.get("input_size", 224)
@@ -471,8 +491,10 @@ class CILTrainer:
                         short_side = int(scale[1])
                 elif isinstance(scale, (tuple, list)):
                     crop_size = int(scale[0])
+            elif op.get("type") == "Normalize":
+                norm_mean = tuple(op.get("mean", norm_mean))
+                norm_std = tuple(op.get("std", norm_std))
 
-        randaug_prob = float(self.config.get("randAug_prob", 0.75))
         # host->device wire format: 'auto' ships the JPEG's stored YUV420
         # planes at crop resolution when the native kernel supports it (else
         # 'rgb'). 'planes' (stored-resolution planes + MXU windowed resize,
@@ -512,7 +534,12 @@ class CILTrainer:
         )
         input_fn = make_fast_input_fn(
             alpha=float(getattr(ds, "alpha", 0.5)),
+            mean=norm_mean,
+            std=norm_std,
             with_randaug=randaug_prob >= 0,
+            # empty bg list (plain-Rawframe families): no bg tensors shipped,
+            # the graph never builds the blend branch
+            with_bgmix=bool(getattr(ds, "bg_files", [])),
             dtype=self.spec.dtype,
             wire_format=loader.wire_format,
         )

@@ -60,7 +60,7 @@ def _record_producer_phases(**seconds: float) -> None:
         PRODUCER_STATS["batches"] = PRODUCER_STATS.get("batches", 0.0) + 1.0
 
 
-def resolve_wire_format(wire_format: str, crop_size: int, allow_planes: bool = True) -> str:
+def resolve_wire_format(wire_format: str, crop_size: int) -> str:
     """Resolve the host->device wire format for the fast input path.
 
     'rgb' ships decoded uint8 RGB crops (bit-parity with the host cv2/PIL
@@ -79,12 +79,9 @@ def resolve_wire_format(wire_format: str, crop_size: int, allow_planes: bool = T
     cost more than the host resize they avoid — measured medians 82 vs 56
     clips/s e2e (PERF_NOTES "Round 3: planes wire"). On PCIe/DMA-attached
     production hosts set fast_input_wire_format='planes' to cut steady-state
-    producer CPU ~3-4x (8-18 vs 28-88 ms/batch measured). ``allow_planes``
-    gates 'planes' for loaders that don't implement it (FastEvalLoader)."""
+    producer CPU ~3-4x (8-18 vs 28-88 ms/batch measured)."""
     if wire_format == "auto":
         return "yuv420" if native.has_yuv420() and crop_size % 2 == 0 else "rgb"
-    if wire_format == "planes" and not allow_planes:
-        raise ValueError("this loader does not support wire_format='planes'")
     if wire_format == "yuv420" and not (native.has_yuv420() and crop_size % 2 == 0):
         raise ValueError(
             f"wire_format='yuv420' needs the yuv420 native kernel and an even "
@@ -100,6 +97,79 @@ def resolve_wire_format(wire_format: str, crop_size: int, allow_planes: bool = T
     if wire_format not in ("rgb", "yuv420", "planes"):
         raise ValueError(f"unknown wire_format {wire_format!r}")
     return wire_format
+
+
+def fast_pipeline_mismatch(pipeline, *, num_segments: int, randaug_prob: float):
+    """Why the fast input path cannot reproduce ``pipeline`` exactly, or
+    None when it can.
+
+    The fast path implements exactly the canonical reference train chain
+    (config_templates._pipelines; reference config :124-163):
+    SampleFrames(1x1xT) -> RawFrameDecode -> Resize(-1, S) ->
+    RandAugment(n=2, m=10, prob=randAug_prob) -> MultiScaleCrop(13 fixed
+    crops, gap 1) -> Resize(square, keep_ratio=False) -> Normalize(RGB) ->
+    FormatShape(NHWC)/Collect/ToTensor. A pipeline containing anything else
+    (Flip, ColorJitter, different RandAugment hyperparameters, ...) must
+    fall back to the host pipeline rather than silently train on a
+    different augmentation distribution — the trainer logs the returned
+    reason and declines the fast path."""
+    supported = {
+        "SampleFrames",
+        "RawFrameDecode",
+        "Resize",
+        "RandAugment",
+        "MultiScaleCrop",
+        "Normalize",
+        "FormatShape",
+        "Collect",
+        "ToTensor",
+    }
+    saw_randaug = False
+    for op in pipeline:
+        t = op.get("type")
+        if t not in supported:
+            return f"pipeline op {t!r} is not implemented by the fast path"
+        saw_randaug = saw_randaug or t == "RandAugment"
+        if t == "SampleFrames":
+            if op.get("clip_len", 1) != 1 or op.get("frame_interval", 1) != 1:
+                return "fast path only implements SampleFrames(clip_len=1, frame_interval=1)"
+            if int(op.get("num_clips", num_segments)) != int(num_segments):
+                return "SampleFrames num_clips differs from the model's num_segments"
+            if op.get("test_mode", False):
+                return "test-mode SampleFrames in a train pipeline"
+        elif t == "Resize":
+            scale = op.get("scale")
+            if op.get("keep_ratio", True):
+                if not (isinstance(scale, (tuple, list)) and scale[0] == -1):
+                    return f"keep-ratio Resize with scale {scale!r} (only (-1, S) supported)"
+            elif not (isinstance(scale, (tuple, list)) and scale[0] == scale[1]):
+                return f"fixed Resize with non-square scale {scale!r}"
+        elif t == "RandAugment":
+            if int(op.get("n", 2)) != 2 or int(op.get("m", 10)) != 10:
+                return "RandAugment n/m differ from the fast path's (2, 10)"
+            if abs(float(op.get("prob", randaug_prob)) - float(randaug_prob)) > 1e-9:
+                return "RandAugment prob differs from config randAug_prob"
+        elif t == "MultiScaleCrop":
+            if op.get("random_crop", False):
+                return "MultiScaleCrop(random_crop=True) is not implemented"
+            if int(op.get("max_wh_scale_gap", 1)) != 1:
+                return "MultiScaleCrop max_wh_scale_gap != 1 is not implemented"
+            if int(op.get("num_fixed_crops", 13)) != 13:
+                return "MultiScaleCrop num_fixed_crops != 13 is not implemented"
+        elif t == "Normalize":
+            if op.get("to_bgr", False):
+                return "Normalize(to_bgr=True) is not implemented"
+        elif t == "FormatShape":
+            # the fast path emits NHWC; the recognizer accepts NHWC and NCHW
+            # identically (models/recognizer.py), so the reference configs'
+            # NCHW is fine — only exotic layouts decline
+            if op.get("input_format", "NHWC") not in ("NHWC", "NCHW"):
+                return f"FormatShape {op.get('input_format')!r} (fast path emits NHWC)"
+    if not saw_randaug and randaug_prob >= 0:
+        # the loader would apply RandAugment (config randAug_prob >= 0) that
+        # the configured host pipeline does not contain
+        return "config randAug_prob >= 0 but the pipeline has no RandAugment op"
+    return None
 
 
 def resized_dims(w: int, h: int, short_side: int) -> tuple:
@@ -401,6 +471,7 @@ def make_fast_input_fn(
     randaug_n: int = 2,
     randaug_m: int = 10,
     with_randaug: bool = True,
+    with_bgmix: bool = True,
     dtype=None,
     wire_format: str = "rgb",
 ):
@@ -412,7 +483,10 @@ def make_fast_input_fn(
     normalize + flip + bgmix (mutually exclusive with randAug via the masks
     the loader drew). With ``wire_format='yuv420'`` the batch carries the
     loader's YUV planes and RGB is reconstructed in-graph first
-    (ops/augment.yuv420_to_rgb) — must match the loader's wire_format."""
+    (ops/augment.yuv420_to_rgb) — must match the loader's wire_format.
+    ``with_bgmix=False`` (the empty-``bg_files`` loaders: plain-Rawframe
+    train families) skips the blend entirely — the batch carries no bg
+    tensors and the graph never builds the bg path."""
     import jax.numpy as jnp
 
     from ..ops.augment import (
@@ -429,19 +503,22 @@ def make_fast_input_fn(
             y = resize_plane_bilinear_taps(batch["imgs_y"], batch["imgs_taps_y"], crop)
             c = resize_plane_bilinear_taps(batch["imgs_c"], batch["imgs_taps_c"], half)
             imgs_u8 = yuv420_to_rgb(y, c)
-            bgy = resize_plane_bilinear_taps(
-                batch["bg_y"][:, None], batch["bg_taps_y"], crop
-            )[:, 0]
-            bgc = resize_plane_bilinear_taps(
-                batch["bg_c"][:, None], batch["bg_taps_c"], half
-            )[:, 0]
-            bg_u8 = yuv420_to_rgb(bgy, bgc)
+            if with_bgmix:
+                bgy = resize_plane_bilinear_taps(
+                    batch["bg_y"][:, None], batch["bg_taps_y"], crop
+                )[:, 0]
+                bgc = resize_plane_bilinear_taps(
+                    batch["bg_c"][:, None], batch["bg_taps_c"], half
+                )[:, 0]
+                bg_u8 = yuv420_to_rgb(bgy, bgc)
         elif wire_format == "yuv420":
             imgs_u8 = yuv420_to_rgb(batch["imgs_y"], batch["imgs_c"])
-            bg_u8 = yuv420_to_rgb(batch["bg_y"], batch["bg_c"])
+            if with_bgmix:
+                bg_u8 = yuv420_to_rgb(batch["bg_y"], batch["bg_c"])
         else:
             imgs_u8 = batch["imgs_u8"]
-            bg_u8 = batch["bg_u8"]
+            if with_bgmix:
+                bg_u8 = batch["bg_u8"]
         if with_randaug:
             augmented = rand_augment_batch(
                 batch["randaug_key"], imgs_u8, n=randaug_n, m=randaug_m
@@ -449,6 +526,17 @@ def make_fast_input_fn(
             sel = batch["apply_randaug"][:, None, None, None, None]
             imgs_u8 = jnp.where(sel, augmented, imgs_u8)
         out_dtype = dtype if dtype is not None else jnp.float32
+        if not with_bgmix:
+            return fused_train_augment(
+                imgs_u8,
+                None,
+                None,
+                batch["flip"],
+                alpha=alpha,
+                mean=mean,
+                std=std,
+                dtype=out_dtype,
+            )
         return fused_train_augment(
             imgs_u8,
             bg_u8,
@@ -770,39 +858,45 @@ class FastBGMixLoader(_EpochSpanMixin):
         n = len(self.video_infos)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _make_planes_wire(self, b, t, crop, indices, all_paths, all_dims, all_crops):
+    def _make_planes_wire(
+        self, b, t, crop, indices, all_paths, all_dims, all_crops, with_bg=True
+    ):
         """'planes' wire: ship STORED-resolution YCbCr planes + per-clip
         resize taps; the windowed bilinear resize runs on the MXU
         (ops/augment.resize_plane_bilinear_taps), bit-identical to the host
         C++ path. Frames the stored-plane form cannot serve are host-resized
-        to final geometry and given identity taps (see _planes_wire_core)."""
-        n = b * t + b
+        to final geometry and given identity taps (see _planes_wire_core).
+        ``with_bg=False`` (empty bg_files) ships frame planes only."""
+        n = b * t + (b if with_bg else 0)
 
         # per-slot source dims (frames share their video's probed dims)
         src = np.empty((n, 2), np.int32)
         for row, idx in enumerate(indices):
             src[row * t : (row + 1) * t] = self._dims[self.video_infos[int(idx)]["frame_dir"]]
-        for row in range(b):
-            src[b * t + row] = self._dims[all_paths[b * t + row]]
-
-        groups = [(row * t, t) for row in range(b)] + [
-            (b * t + row, 1) for row in range(b)
-        ]
+        groups = [(row * t, t) for row in range(b)]
+        if with_bg:
+            for row in range(b):
+                src[b * t + row] = self._dims[all_paths[b * t + row]]
+            groups += [(b * t + row, 1) for row in range(b)]
         y_all, c_all, taps_y, taps_c = _planes_wire_core(
             self, all_paths, all_dims, all_crops, src, groups, crop
         )
         pw, ph = self._pad_w, self._pad_h
 
-        return {
+        pixels = {
             "imgs_y": y_all[: b * t].reshape(b, t, ph, pw),
             "imgs_c": c_all[: b * t].reshape(b, t, ph // 2, pw // 2, 2),
-            "bg_y": y_all[b * t :],
-            "bg_c": c_all[b * t :],
             "imgs_taps_y": taps_y[:b],
             "imgs_taps_c": taps_c[:b],
-            "bg_taps_y": taps_y[b:],
-            "bg_taps_c": taps_c[b:],
         }
+        if with_bg:
+            pixels.update(
+                bg_y=y_all[b * t :],
+                bg_c=c_all[b * t :],
+                bg_taps_y=taps_y[b:],
+                bg_taps_c=taps_c[b:],
+            )
+        return pixels
 
     # -- batch assembly ----------------------------------------------------
     def _make_batch(
@@ -817,6 +911,10 @@ class FastBGMixLoader(_EpochSpanMixin):
         b = len(indices)
         t = self.num_segments
         crop = self.crop_size
+        # plain-Rawframe families ride this loader with an empty bg list:
+        # no background exists to blend, so skip the placeholder bg decode
+        # and ship no bg tensors at all (make_fast_input_fn with_bgmix=False)
+        no_bg = not self.bg_files
 
         frame_paths: List[str] = []
         crops: List = []
@@ -863,12 +961,15 @@ class FastBGMixLoader(_EpochSpanMixin):
                 osp.join(info["frame_dir"], self.filename_tmpl.format(int(frame_inds[0]))),
             ))
 
-            if self.bg_files and apply_bgmix[row]:
+            if no_bg:
+                apply_bgmix[row] = False
+                continue
+            if apply_bgmix[row]:
                 bg_path = self.bg_files[int(rng.integers(len(self.bg_files)))]
             else:
-                # placeholder (not blended); reuse a frame of this video
+                # placeholder (not blended); reuse a frame of this video —
+                # keeps the bg tensor shapes static across batches
                 bg_path = probe[-1][1]
-                apply_bgmix[row] = apply_bgmix[row] and bool(self.bg_files)
             bg_paths.append(bg_path)
             probe.append((bg_path, bg_path))
         if profile:
@@ -893,6 +994,8 @@ class FastBGMixLoader(_EpochSpanMixin):
                 crops.append((ox, oy))
                 resize_dims[row * t + k] = (rw, rh)
 
+            if no_bg:
+                continue
             # uniform bg RandomCrop over the true valid range
             bw, bh = self._dims[bg_paths[row]]
             bg_crops.append(plan_bg_crop(rng, bw, bh, self.bg_short_side, crop))
@@ -905,7 +1008,7 @@ class FastBGMixLoader(_EpochSpanMixin):
         bg_dims = np.array(
             [resized_dims(*self._dims[p], self.bg_short_side) for p in bg_paths],
             np.int32,
-        )
+        ).reshape(-1, 2)
         if profile:
             t_plan = time.perf_counter()
         all_paths = frame_paths + bg_paths
@@ -913,7 +1016,7 @@ class FastBGMixLoader(_EpochSpanMixin):
         all_crops = crops + bg_crops
         if self.wire_format == "planes":
             pixels = self._make_planes_wire(
-                b, t, crop, indices, all_paths, all_dims, all_crops
+                b, t, crop, indices, all_paths, all_dims, all_crops, with_bg=not no_bg
             )
         elif self.wire_format == "yuv420":
             y, c = native.decode_yuv420_batch(
@@ -923,9 +1026,9 @@ class FastBGMixLoader(_EpochSpanMixin):
             pixels = {
                 "imgs_y": y[: b * t].reshape(b, t, crop, crop),
                 "imgs_c": c[: b * t].reshape(b, t, half, half, 2),
-                "bg_y": y[b * t :],
-                "bg_c": c[b * t :],
             }
+            if not no_bg:
+                pixels.update(bg_y=y[b * t :], bg_c=c[b * t :])
         else:
             dec = native.decode_resize2_crop_batch(
                 all_paths,
@@ -935,10 +1038,9 @@ class FastBGMixLoader(_EpochSpanMixin):
                 crops=all_crops,
                 num_threads=self.num_threads,
             )
-            pixels = {
-                "imgs_u8": dec[: b * t].reshape(b, t, crop, crop, 3),
-                "bg_u8": dec[b * t :],
-            }
+            pixels = {"imgs_u8": dec[: b * t].reshape(b, t, crop, crop, 3)}
+            if not no_bg:
+                pixels["bg_u8"] = dec[b * t :]
         if profile:
             t_dec = time.perf_counter()
             _record_producer_phases(

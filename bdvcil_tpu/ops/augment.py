@@ -235,13 +235,18 @@ def fused_train_augment(
 
     Args:
       imgs_u8: (B, M, H, W, C) uint8 clip crops.
-      bg_u8:   (B, H, W, C) uint8 background crops.
+      bg_u8:   (B, H, W, C) uint8 background crops, or None to skip the
+               blend entirely (empty-bg_files fast path: the graph never
+               builds the bg branch, exactly equivalent to an all-False
+               apply_bgmix mask).
       apply_bgmix: (B,) bool — blend mask (prob draw / randAug mutex, host-side).
       flip:    (B,) bool — whole-clip horizontal flip.
     """
     imgs = normalize_batch(imgs_u8, mean, std, jnp.float32)
     flipped = imgs[:, :, :, ::-1, :]
     imgs = jnp.where(flip[:, None, None, None, None], flipped, imgs)
+    if bg_u8 is None:
+        return imgs.astype(dtype)
     bg = normalize_batch(bg_u8, mean, std, jnp.float32)
     out = background_blend(imgs, bg, alpha, apply_mask=apply_bgmix)
     return out.astype(dtype)

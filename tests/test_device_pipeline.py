@@ -490,3 +490,67 @@ def test_parallel_ordered_iter_order_and_errors():
 
     with _pytest.raises(RuntimeError, match="decode failed"):
         list(_parallel_ordered_iter(list(range(6)), boom, num_workers=2, prefetch=1))
+
+
+@needs_native
+def test_fast_loader_empty_bg_ships_no_bg_tensors(fast_env):
+    """Plain-Rawframe families (empty bg list): no placeholder bg decode, no
+    bg keys on the wire, apply_bgmix forced False — and the with_bgmix=False
+    device graph is exactly equivalent to the full graph under an all-False
+    blend mask."""
+    from bdvcil_tpu.data.device_pipeline import make_fast_input_fn
+
+    ds, _ = fast_env
+    loader = FastBGMixLoader(
+        ds.video_infos, [], batch_size=4, num_segments=4, crop_size=224,
+        randaug_prob=0.5, seed=0,
+    )
+    b = next(iter(loader))
+    assert "bg_u8" not in b and "bg_y" not in b and "bg_c" not in b
+    assert not b["apply_bgmix"].any()
+    assert b["imgs_u8"].shape == (4, 4, 224, 224, 3)
+
+    fn_nobg = make_fast_input_fn(with_randaug=True, with_bgmix=False)
+    out_nobg = np.asarray(fn_nobg(b))
+
+    full = dict(b)
+    full["bg_u8"] = np.zeros((4, 224, 224, 3), np.uint8)
+    full["apply_bgmix"] = np.zeros(4, bool)
+    fn_full = make_fast_input_fn(with_randaug=True, with_bgmix=True)
+    np.testing.assert_array_equal(out_nobg, np.asarray(fn_full(full)))
+
+
+def test_fast_pipeline_mismatch_gate():
+    """The trainer's fast-path gate declines pipelines the fast path cannot
+    reproduce exactly, and accepts the canonical template chain."""
+    from bdvcil_tpu.config_templates import _pipelines
+    from bdvcil_tpu.data.device_pipeline import fast_pipeline_mismatch
+
+    train, _, _, _ = _pipelines(0.75, "TenCrop", 256)
+    assert fast_pipeline_mismatch(train, num_segments=8, randaug_prob=0.75) is None
+
+    # unsupported op
+    bad = train[:5] + [dict(type="Flip", flip_ratio=0.5)] + train[5:]
+    assert "Flip" in fast_pipeline_mismatch(bad, num_segments=8, randaug_prob=0.75)
+    # RandAugment prob drift vs config
+    assert "prob" in fast_pipeline_mismatch(train, num_segments=8, randaug_prob=0.3)
+    # num_clips vs model num_segments
+    assert "num_clips" in fast_pipeline_mismatch(train, num_segments=16, randaug_prob=0.75)
+    # non-default MultiScaleCrop options
+    bad = [dict(op) for op in train]
+    bad[4]["random_crop"] = True
+    assert "random_crop" in fast_pipeline_mismatch(bad, num_segments=8, randaug_prob=0.75)
+    # BGR normalize
+    bad = [dict(op) for op in train]
+    bad[6]["to_bgr"] = True
+    assert "to_bgr" in fast_pipeline_mismatch(bad, num_segments=8, randaug_prob=0.75)
+    # RandAugment missing while config says it should fire
+    no_ra = [op for op in train if op["type"] != "RandAugment"]
+    assert "no RandAugment" in fast_pipeline_mismatch(no_ra, num_segments=8, randaug_prob=0.75)
+    assert fast_pipeline_mismatch(no_ra, num_segments=8, randaug_prob=-1.0) is None
+    # reference NCHW layout is fine (recognizer accepts both); exotic is not
+    nchw = [dict(op) for op in train]
+    nchw[7]["input_format"] = "NCHW"
+    assert fast_pipeline_mismatch(nchw, num_segments=8, randaug_prob=0.75) is None
+    nchw[7]["input_format"] = "NCTHW"
+    assert "NCTHW" in fast_pipeline_mismatch(nchw, num_segments=8, randaug_prob=0.75)
