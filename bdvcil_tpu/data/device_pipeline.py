@@ -711,6 +711,26 @@ class _EpochSpanMixin:
         """Main-thread hook run before the worker pool spawns (state that
         must be fixed before concurrent ``_make_batch`` calls)."""
 
+    def _prepare_planes_pad(self, extra_files=()) -> None:
+        """Fix the 'planes' pad dims from the WHOLE corpus (every video's
+        frame_dir — frames share dims — plus ``extra_files``) so the pad is
+        a pure function of the dataset: deterministic batch shapes, no
+        mid-run recompile of the jitted step, worker-count-invariant."""
+        if self.wire_format != "planes" or self._pad_w:
+            return
+        probe = [
+            (
+                info["frame_dir"],
+                osp.join(info["frame_dir"], self.filename_tmpl.format(self.start_index)),
+            )
+            for info in self.video_infos
+        ] + [(p, p) for p in extra_files]
+        self._get_dims(probe)
+        dims = np.array([self._dims[k] for k, _ in probe], np.int64).reshape(-1, 2)
+        self._pad_w, self._pad_h = _pads_from_dims(
+            dims, self.crop_size, self.planes_max_px
+        )
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         # worker pool keeps batches decoding while the device trains on the
         # previous one; ordered reassembly preserves determinism
@@ -839,20 +859,7 @@ class FastBGMixLoader(_EpochSpanMixin):
         header per frame_dir — frames share dims) + bg file keeps the pad a
         pure function of the dataset, so shapes are deterministic and there
         is never a mid-run recompile of the jitted step."""
-        if self.wire_format != "planes" or self._pad_w:
-            return
-        probe = [
-            (
-                info["frame_dir"],
-                osp.join(info["frame_dir"], self.filename_tmpl.format(self.start_index)),
-            )
-            for info in self.video_infos
-        ] + [(p, p) for p in self.bg_files]
-        self._get_dims(probe)
-        dims = np.array([self._dims[k] for k, _ in probe], np.int64).reshape(-1, 2)
-        self._pad_w, self._pad_h = _pads_from_dims(
-            dims, self.crop_size, self.planes_max_px
-        )
+        self._prepare_planes_pad(extra_files=self.bg_files)
 
     def __len__(self) -> int:
         n = len(self.video_infos)
@@ -1212,20 +1219,7 @@ class FastACMLoader(_EpochSpanMixin):
         before workers spawn (scene clips are drawn from the same corpus, so
         one probe covers both streams) — see FastBGMixLoader._prepare_iteration
         for why the pad must be a pure function of the dataset."""
-        if self.wire_format != "planes" or self._pad_w:
-            return
-        probe = [
-            (
-                info["frame_dir"],
-                osp.join(info["frame_dir"], self.filename_tmpl.format(self.start_index)),
-            )
-            for info in self.video_infos
-        ]
-        self._get_dims(probe)
-        dims = np.array([self._dims[k] for k, _ in probe], np.int64).reshape(-1, 2)
-        self._pad_w, self._pad_h = _pads_from_dims(
-            dims, self.crop_size, self.planes_max_px
-        )
+        self._prepare_planes_pad()
 
     def __len__(self) -> int:
         n = len(self.video_infos)
