@@ -174,35 +174,43 @@ def torch_init_to_variables(model) -> dict:
     }
 
 
-@pytest.fixture(scope="module")
-def parity_tree(tmp_path_factory):
-    from tests.synthetic import make_learnable_rawframe_tree
+# the tuned discriminative tree, defined ONCE — the fixture below and
+# tools/parity_study.py both build from these exact parameters, so the
+# studied protocol cannot drift from the tested one
+TREE_PARAMS = dict(
+    num_classes=NUM_CLASSES, train_videos_per_class=6,
+    val_videos_per_class=6, num_frames=8, size=(64, 80), seed=3,
+    noise=60, video_jitter=42, palette_lo=85, palette_hi=170,
+    val_jitter=80, extra_val_videos_per_class=18,
+)
 
-    root = tmp_path_factory.mktemp("parity_data")
-    # difficulty tuned so BOTH metrics land mid-band at every stage (the
-    # comparison must be discriminative, not at a 0/100 ceiling): training is
-    # in the robust regime (14 epochs clears the from-scratch convergence
-    # cliff) while val videos carry a larger color jitter than train
-    # (val_jitter) so irreducible val error pins accuracies at ~60-85.
-    # 24 val videos/class (48/stage) put the accuracy quantum at ~2.1 pts —
-    # fine enough that the parity bounds below measure framework agreement
-    # rather than per-video quantization noise (the earlier 6/class tree
-    # forced 8.3-pt steps and a 15-20 pt tolerance). The extra 18/class come
-    # from an independent RNG stream (extra_val_videos_per_class) so the
-    # TRAIN tree is bit-identical to the tuned round-3 setup — regrowing the
-    # whole tree shifts the shared RNG stream and pushed the torch run off
-    # the from-scratch convergence cliff (stage accuracies 62->13->2).
-    frames_root, train_ann, val_ann = make_learnable_rawframe_tree(
-        root, num_classes=NUM_CLASSES, train_videos_per_class=6,
-        val_videos_per_class=6, num_frames=8, size=(64, 80), seed=3,
-        noise=60, video_jitter=42, palette_lo=85, palette_hi=170,
-        val_jitter=80, extra_val_videos_per_class=18,
-    )
-    # backgrounds for the BackgroundMixDataset pipeline
+
+def build_parity_tree(root):
+    """Build the tuned parity tree + background dir under ``root``.
+
+    Difficulty tuned so BOTH metrics land mid-band at every stage (the
+    comparison must be discriminative, not at a 0/100 ceiling): training is
+    in the robust regime (14 epochs clears the from-scratch convergence
+    cliff) while val videos carry a larger color jitter than train
+    (val_jitter) so irreducible val error pins accuracies at ~60-85.
+    24 val videos/class (48/stage) put the accuracy quantum at ~2.1 pts —
+    fine enough that the parity bounds below measure framework agreement
+    rather than per-video quantization noise (the earlier 6/class tree
+    forced 8.3-pt steps and a 15-20 pt tolerance). The extra 18/class come
+    from an independent RNG stream (extra_val_videos_per_class) so the
+    TRAIN tree is bit-identical to the tuned round-3 setup — regrowing the
+    whole tree shifts the shared RNG stream and pushed the torch run off
+    the from-scratch convergence cliff (stage accuracies 62->13->2)."""
     import cv2
 
+    from tests.synthetic import make_learnable_rawframe_tree
+
+    frames_root, train_ann, val_ann = make_learnable_rawframe_tree(
+        root, **TREE_PARAMS
+    )
+    # backgrounds for the BackgroundMixDataset pipeline
     bg_dir = root / "bg"
-    bg_dir.mkdir()
+    bg_dir.mkdir(exist_ok=True)
     rng = np.random.default_rng(11)
     for i in range(6):
         cv2.imwrite(str(bg_dir / f"bg{i}.jpg"),
@@ -210,27 +218,97 @@ def parity_tree(tmp_path_factory):
     return root, frames_root, train_ann, val_ann
 
 
-def test_full_protocol_accuracy_parity(parity_tree, tmp_path_factory):
+def make_icarl_model():
+    """The iCaRL-family model dict: SimpleLinear (IncrementalNet) head, CE
+    loss. test_cfg says 'prob' ON PURPOSE: the trainer must force 'score'
+    for iCaRL methods (trainer.py mirror of icarl.py:34)."""
+    return dict(
+        type="CILRecognizer2D",
+        backbone=dict(type="ResNetTSM", depth=18, num_segments=T, shift_div=8,
+                      norm_eval=False),
+        cls_head=dict(
+            type="IncrementalTSMHead",
+            num_classes=2,
+            in_channels=512,
+            inc_head_config=dict(type="SimpleLinear", out_features=2),
+            num_segments=T,
+            loss_cls=dict(type="CrossEntropyLoss"),
+            dropout_ratio=0.0,  # cross-framework RNG cannot match
+        ),
+        test_cfg=dict(average_clips="prob"),
+    )
+
+
+def method_overrides(method: str) -> dict:
+    """Per-method-family config overrides, shared with tools/parity_study.py.
+
+    iCaRL-family lr/epochs tuned on the torch side so the linear-CE head
+    clears the from-scratch convergence cliff (stage-0 CNN 87.5 at 0.01/24;
+    at the base config's 0.02/14 it sits at chance, which would make the
+    comparison vacuous): probed over {0.01,0.02,0.05,0.1}x{14..30}.
+    video_mix uses mild mixing: prob 0.25 keeps the 2-class-per-task
+    synthetic task learnable while still exercising tubemix every epoch."""
+    if method == "base":
+        return {}
+    ov = dict(methods=method, model=make_icarl_model(), num_epochs_per_task=24)
+    if method == "icarl_video_mix":
+        ov.update(video_mix_prob=0.25, video_mix_alpha=1.0)
+    return ov
+
+
+def run_protocol_pair(
+    tree, work_torch, work_jax, method="base", timings=None, **extra_overrides
+):
+    """One paired (torch, jax) full-protocol run: same tree, same init, same
+    data order. Returns (TorchMiniCIL, CILTrainer) after both trained —
+    the single pair-runner shared by every parity test and the study tool
+    (tools/parity_study.py). Pass a dict as ``timings`` to receive per-side
+    train wall seconds."""
+    import time
+
     from bdvcil_tpu.cil import CILTrainer
     from tests.torch_cil_reference import TorchMiniCIL
 
-    root, frames_root, train_ann, val_ann = parity_tree
-
+    root, frames_root, train_ann, val_ann = tree
+    overrides = dict(method_overrides(method), **extra_overrides)
     cfg_torch = make_parity_config(
-        root, frames_root, train_ann, val_ann, tmp_path_factory.mktemp("work_torch")
+        root, frames_root, train_ann, val_ann, work_torch, **overrides
     )
     cfg_jax = make_parity_config(
-        root, frames_root, train_ann, val_ann, tmp_path_factory.mktemp("work_jax")
+        root, frames_root, train_ann, val_ann, work_jax, **overrides
     )
+    if method != "base":
+        cfg_torch.optimizer["lr"] = cfg_jax.optimizer["lr"] = 0.01
 
     mini = TorchMiniCIL(cfg_torch)
+    if method != "base":
+        assert mini.head_type == "linear" and mini.average_clips == "score"
     init_variables = torch_init_to_variables(mini.model)
 
     trainer = CILTrainer(cfg_jax)
     trainer.variables = init_variables
 
+    t0 = time.time()
     mini.train()
+    t1 = time.time()
     trainer.train()
+    if timings is not None:
+        timings["wall_torch_s"] = round(t1 - t0, 1)
+        timings["wall_jax_s"] = round(time.time() - t1, 1)
+    return mini, trainer
+
+
+@pytest.fixture(scope="module")
+def parity_tree(tmp_path_factory):
+    return build_parity_tree(tmp_path_factory.mktemp("parity_data"))
+
+
+def test_full_protocol_accuracy_parity(parity_tree, tmp_path_factory):
+    mini, trainer = run_protocol_pair(
+        parity_tree,
+        tmp_path_factory.mktemp("work_torch"),
+        tmp_path_factory.mktemp("work_jax"),
+    )
 
     cnn_t = [np.mean(r) for r in mini.cnn_matrix]
     cnn_j = [np.mean(r) for r in trainer.cnn_matrix]
@@ -266,160 +344,48 @@ def test_full_protocol_accuracy_parity(parity_tree, tmp_path_factory):
     assert abs(nme_t[-1] - nme_j[-1]) <= 7.5, (nme_t, nme_j)
 
 
-def test_full_protocol_accuracy_parity_icarl(parity_tree, tmp_path_factory):
-    """Same full-protocol comparison for the iCaRL method family: SimpleLinear
+# per-method tolerance: measured icarl per-stage deltas on the pinned seed
+# across two independent runs (torch CPU kernel selection is not bit-stable
+# run-to-run): CNN 2.1/6.3/0.0 and 2.1/5.2/6.9, NME 2.1/5.2/0.7 and
+# 4.2/6.3/1.4 — bound at ~1.4x the worst observed. video_mix is wider: the
+# tubemix draws themselves cannot match across frameworks (jax mixes on
+# device inside the jitted step), so that comparison carries
+# augmentation-realization variance on top of cross-framework fp divergence.
+@pytest.mark.parametrize(
+    "method,tol", [("icarl", 10.0), ("icarl_video_mix", 15.0)]
+)
+def test_full_protocol_accuracy_parity_icarl_family(
+    parity_tree, tmp_path_factory, method, tol
+):
+    """Full-protocol comparison for the iCaRL method families: SimpleLinear
     (IncrementalNet) head, soft-target CE with prev-model softmax for
     old-class samples (icarl.py:97-130), average_clips='score' forced, no
-    feature KD — torch mini-reference vs the real CILTrainer on identical
-    data, init, and order."""
-    from bdvcil_tpu.cil import CILTrainer
-    from tests.torch_cil_reference import TorchMiniCIL
-
-    root, frames_root, train_ann, val_ann = parity_tree
-
-    icarl_model = dict(
-        type="CILRecognizer2D",
-        backbone=dict(type="ResNetTSM", depth=18, num_segments=T, shift_div=8,
-                      norm_eval=False),
-        cls_head=dict(
-            type="IncrementalTSMHead",
-            num_classes=2,
-            in_channels=512,
-            inc_head_config=dict(type="SimpleLinear", out_features=2),
-            num_segments=T,
-            loss_cls=dict(type="CrossEntropyLoss"),
-            dropout_ratio=0.0,  # cross-framework RNG cannot match
-        ),
-        # 'prob' on purpose: the trainer must force 'score' for iCaRL
-        # (trainer.py mirror of icarl.py:34)
-        test_cfg=dict(average_clips="prob"),
+    feature KD; icarl_video_mix adds tube-CutMix batch augmentation inside
+    the train step (icarl_video_mix.py:19-81). Torch mini-reference vs the
+    real CILTrainer on identical data, init, and order."""
+    mini, trainer = run_protocol_pair(
+        parity_tree,
+        tmp_path_factory.mktemp(f"work_torch_{method}"),
+        tmp_path_factory.mktemp(f"work_jax_{method}"),
+        method=method,
     )
-    # lr/epochs tuned on the torch side so the linear-CE head clears the
-    # from-scratch convergence cliff (stage-0 CNN 87.5 at 0.01/24; at the
-    # base config's 0.02/14 it sits at chance, which would make the
-    # comparison vacuous): probed over {0.01,0.02,0.05,0.1}x{14..30}
-    overrides = dict(methods="icarl", model=icarl_model, num_epochs_per_task=24)
-    cfg_torch = make_parity_config(
-        root, frames_root, train_ann, val_ann,
-        tmp_path_factory.mktemp("work_torch_icarl"), **overrides,
-    )
-    cfg_jax = make_parity_config(
-        root, frames_root, train_ann, val_ann,
-        tmp_path_factory.mktemp("work_jax_icarl"), **overrides,
-    )
-    cfg_torch.optimizer["lr"] = cfg_jax.optimizer["lr"] = 0.01
-
-    mini = TorchMiniCIL(cfg_torch)
-    assert mini.head_type == "linear" and mini.average_clips == "score"
-    init_variables = torch_init_to_variables(mini.model)
-
-    trainer = CILTrainer(cfg_jax)
-    trainer.variables = init_variables
-
-    mini.train()
-    trainer.train()
 
     cnn_t = [np.mean(r) for r in mini.cnn_matrix]
     cnn_j = [np.mean(r) for r in trainer.cnn_matrix]
     nme_t = [np.mean(r) for r in mini.nme_matrix]
     nme_j = [np.mean(r) for r in trainer.nme_matrix]
-    print("\n[icarl] torch CNN matrix:", mini.cnn_matrix)
-    print("[icarl] jax   CNN matrix:", trainer.cnn_matrix)
-    print("[icarl] torch NME matrix:", mini.nme_matrix)
-    print("[icarl] jax   NME matrix:", trainer.nme_matrix)
-    print("[icarl] per-stage avg CNN torch/jax:", cnn_t, cnn_j)
-    print("[icarl] per-stage avg NME torch/jax:", nme_t, nme_j)
+    print(f"\n[{method}] torch CNN matrix:", mini.cnn_matrix)
+    print(f"[{method}] jax   CNN matrix:", trainer.cnn_matrix)
+    print(f"[{method}] torch NME matrix:", mini.nme_matrix)
+    print(f"[{method}] jax   NME matrix:", trainer.nme_matrix)
+    print(f"[{method}] per-stage avg CNN torch/jax:", cnn_t, cnn_j)
+    print(f"[{method}] per-stage avg NME torch/jax:", nme_t, nme_j)
 
     for series in (cnn_t, cnn_j, nme_t, nme_j):
         for v in series:
             assert 30.0 <= v <= 95.0, (cnn_t, cnn_j, nme_t, nme_j)
 
-    # measured per-stage deltas on the pinned seed across two independent
-    # runs (torch CPU kernel selection is not bit-stable run-to-run, so the
-    # trajectories differ slightly): CNN 2.1/6.3/0.0 and 2.1/5.2/6.9,
-    # NME 2.1/5.2/0.7 and 4.2/6.3/1.4 — bound set at ~1.4x the worst observed
     for a, b in zip(cnn_t, cnn_j):
-        assert abs(a - b) <= 10.0, (cnn_t, cnn_j)
+        assert abs(a - b) <= tol, (cnn_t, cnn_j)
     for a, b in zip(nme_t, nme_j):
-        assert abs(a - b) <= 10.0, (nme_t, nme_j)
-
-
-def test_full_protocol_accuracy_parity_icarl_video_mix(parity_tree, tmp_path_factory):
-    """Third method family: icarl_video_mix — the iCaRL soft-target protocol
-    with tube-CutMix batch augmentation inside the train step
-    (icarl_video_mix.py:19-81). Both sides apply tubemix with the same
-    (prob, alpha) distribution; the draws themselves cannot match across
-    frameworks (jax mixes on device inside the jitted step), so this is a
-    distribution-level protocol comparison like the base test's treatment of
-    chaotic divergence."""
-    from bdvcil_tpu.cil import CILTrainer
-    from tests.torch_cil_reference import TorchMiniCIL
-
-    root, frames_root, train_ann, val_ann = parity_tree
-
-    vm_model = dict(
-        type="CILRecognizer2D",
-        backbone=dict(type="ResNetTSM", depth=18, num_segments=T, shift_div=8,
-                      norm_eval=False),
-        cls_head=dict(
-            type="IncrementalTSMHead",
-            num_classes=2,
-            in_channels=512,
-            inc_head_config=dict(type="SimpleLinear", out_features=2),
-            num_segments=T,
-            loss_cls=dict(type="CrossEntropyLoss"),
-            dropout_ratio=0.0,
-        ),
-        test_cfg=dict(average_clips="prob"),  # trainer must force 'score'
-    )
-    overrides = dict(
-        methods="icarl_video_mix",
-        model=vm_model,
-        num_epochs_per_task=24,
-        # mild mixing: prob 0.25 keeps the 2-class-per-task synthetic task
-        # learnable while still exercising the tubemix path every epoch
-        video_mix_prob=0.25,
-        video_mix_alpha=1.0,
-    )
-    cfg_torch = make_parity_config(
-        root, frames_root, train_ann, val_ann,
-        tmp_path_factory.mktemp("work_torch_vm"), **overrides,
-    )
-    cfg_jax = make_parity_config(
-        root, frames_root, train_ann, val_ann,
-        tmp_path_factory.mktemp("work_jax_vm"), **overrides,
-    )
-    cfg_torch.optimizer["lr"] = cfg_jax.optimizer["lr"] = 0.01
-
-    mini = TorchMiniCIL(cfg_torch)
-    assert mini.head_type == "linear" and mini.average_clips == "score"
-    init_variables = torch_init_to_variables(mini.model)
-
-    trainer = CILTrainer(cfg_jax)
-    trainer.variables = init_variables
-
-    mini.train()
-    trainer.train()
-
-    cnn_t = [np.mean(r) for r in mini.cnn_matrix]
-    cnn_j = [np.mean(r) for r in trainer.cnn_matrix]
-    nme_t = [np.mean(r) for r in mini.nme_matrix]
-    nme_j = [np.mean(r) for r in trainer.nme_matrix]
-    print("\n[video_mix] torch CNN matrix:", mini.cnn_matrix)
-    print("[video_mix] jax   CNN matrix:", trainer.cnn_matrix)
-    print("[video_mix] torch NME matrix:", mini.nme_matrix)
-    print("[video_mix] jax   NME matrix:", trainer.nme_matrix)
-    print("[video_mix] per-stage avg CNN torch/jax:", cnn_t, cnn_j)
-    print("[video_mix] per-stage avg NME torch/jax:", nme_t, nme_j)
-
-    for series in (cnn_t, cnn_j, nme_t, nme_j):
-        for v in series:
-            assert 30.0 <= v <= 95.0, (cnn_t, cnn_j, nme_t, nme_j)
-
-    # wider than the icarl bound: the tubemix draws themselves cannot match
-    # across frameworks, so this comparison carries augmentation-realization
-    # variance on top of the cross-framework fp divergence
-    for a, b in zip(cnn_t, cnn_j):
-        assert abs(a - b) <= 15.0, (cnn_t, cnn_j)
-    for a, b in zip(nme_t, nme_j):
-        assert abs(a - b) <= 15.0, (nme_t, nme_j)
+        assert abs(a - b) <= tol, (nme_t, nme_j)

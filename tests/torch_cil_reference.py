@@ -91,7 +91,11 @@ class TorchCILModel(torch.nn.Module):
             self.fc_weights = torch.nn.Parameter(
                 torch.empty(num_classes, nb_proxies * 512)
             )
-            torch.nn.init.kaiming_normal_(self.fc_weights)
+            # LSC.reset_parameters uses nonlinearity='linear', NOT the
+            # default leaky_relu gain (cosine_linear.py:25) — same gain as
+            # grow() below; cosine scores are unaffected but weight-decay/
+            # momentum dynamics see the reference's init scale
+            torch.nn.init.kaiming_normal_(self.fc_weights, nonlinearity="linear")
             self.eta = torch.nn.Parameter(torch.ones(1))
 
     def grow(self, new_num_classes: int) -> None:

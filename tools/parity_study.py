@@ -14,9 +14,9 @@ evidence this no-real-data environment permits.
 Usage:
     python tools/parity_study.py --seeds 5 --method base --out parity_study.json
 
-Reuses the EXACT test harness (make_parity_config / TorchMiniCIL /
-torch_init_to_variables) so the studied protocol cannot drift from the
-tested one.
+Imports the EXACT test harness (build_parity_tree / method_overrides /
+run_protocol_pair from tests/test_protocol_parity.py) so the studied
+protocol cannot drift from the tested one.
 """
 
 import argparse
@@ -25,7 +25,6 @@ import os
 import pathlib
 import sys
 import tempfile
-import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
@@ -41,58 +40,24 @@ if jax.__version__:  # force CPU even when a TPU plugin is registered
         pass
 
 import numpy as np
-import torch
 
 
 def run_pair(tree, work_root: pathlib.Path, method: str, seed: int):
-    """One paired (torch, jax) full-protocol run: same tree, same init, same
-    data order. Returns per-stage average CNN/NME accuracies for both."""
-    from bdvcil_tpu.cil import CILTrainer
-    from tests.test_protocol_parity import make_parity_config, torch_init_to_variables
-    from tests.torch_cil_reference import TorchMiniCIL
+    """One paired run via the tests' shared runner (seed overrides the config
+    seed — TorchMiniCIL seeds torch from it, so init differs per seed and is
+    converted so both sides share it). Returns per-stage average CNN/NME
+    accuracies for both sides."""
+    from tests.test_protocol_parity import run_protocol_pair
 
-    root, frames_root, train_ann, val_ann = tree
-    overrides = dict(seed=seed)
-    if method == "icarl":
-        overrides.update(
-            methods="icarl",
-            model=_icarl_model(),
-            num_epochs_per_task=24,
-        )
-    elif method == "icarl_video_mix":
-        overrides.update(
-            methods="icarl_video_mix",
-            model=_icarl_model(),
-            num_epochs_per_task=24,
-            video_mix_prob=0.25,
-            video_mix_alpha=1.0,
-        )
-
-    cfg_torch = make_parity_config(
-        root, frames_root, train_ann, val_ann, _mkdir(work_root, f"torch_s{seed}"),
-        **overrides,
+    timings = {}
+    mini, trainer = run_protocol_pair(
+        tree,
+        _mkdir(work_root, f"torch_s{seed}"),
+        _mkdir(work_root, f"jax_s{seed}"),
+        method=method,
+        timings=timings,
+        seed=seed,
     )
-    cfg_jax = make_parity_config(
-        root, frames_root, train_ann, val_ann, _mkdir(work_root, f"jax_s{seed}"),
-        **overrides,
-    )
-    if method in ("icarl", "icarl_video_mix"):
-        cfg_torch.optimizer["lr"] = cfg_jax.optimizer["lr"] = 0.01
-
-    torch.manual_seed(seed)  # per-seed init; converted so both sides share it
-    mini = TorchMiniCIL(cfg_torch)
-    init_variables = torch_init_to_variables(mini.model)
-
-    trainer = CILTrainer(cfg_jax)
-    trainer.variables = init_variables
-
-    t0 = time.time()
-    mini.train()
-    t_torch = time.time() - t0
-    t0 = time.time()
-    trainer.train()
-    t_jax = time.time() - t0
-
     return dict(
         seed=seed,
         cnn_torch=[float(np.mean(r)) for r in mini.cnn_matrix],
@@ -103,8 +68,7 @@ def run_pair(tree, work_root: pathlib.Path, method: str, seed: int):
         cnn_matrix_jax=_tolist(trainer.cnn_matrix),
         nme_matrix_torch=_tolist(mini.nme_matrix),
         nme_matrix_jax=_tolist(trainer.nme_matrix),
-        wall_torch_s=round(t_torch, 1),
-        wall_jax_s=round(t_jax, 1),
+        **timings,
     )
 
 
@@ -112,53 +76,10 @@ def _tolist(matrix):
     return [[float(v) for v in row] for row in matrix]
 
 
-def _icarl_model():
-    from tests.test_protocol_parity import T
-
-    return dict(
-        type="CILRecognizer2D",
-        backbone=dict(type="ResNetTSM", depth=18, num_segments=T, shift_div=8,
-                      norm_eval=False),
-        cls_head=dict(
-            type="IncrementalTSMHead",
-            num_classes=2,
-            in_channels=512,
-            inc_head_config=dict(type="SimpleLinear", out_features=2),
-            num_segments=T,
-            loss_cls=dict(type="CrossEntropyLoss"),
-            dropout_ratio=0.0,
-        ),
-        test_cfg=dict(average_clips="prob"),
-    )
-
-
 def _mkdir(root: pathlib.Path, name: str) -> pathlib.Path:
     p = root / name
     p.mkdir(parents=True, exist_ok=True)
     return p
-
-
-def make_tree(root: pathlib.Path):
-    """The tests' tuned discriminative tree (test_protocol_parity.parity_tree),
-    built outside pytest."""
-    import cv2
-
-    from tests.synthetic import make_learnable_rawframe_tree
-    from tests.test_protocol_parity import NUM_CLASSES
-
-    frames_root, train_ann, val_ann = make_learnable_rawframe_tree(
-        root, num_classes=NUM_CLASSES, train_videos_per_class=6,
-        val_videos_per_class=6, num_frames=8, size=(64, 80), seed=3,
-        noise=60, video_jitter=42, palette_lo=85, palette_hi=170,
-        val_jitter=80, extra_val_videos_per_class=18,
-    )
-    bg_dir = root / "bg"
-    bg_dir.mkdir(exist_ok=True)
-    rng = np.random.default_rng(11)
-    for i in range(6):
-        cv2.imwrite(str(bg_dir / f"bg{i}.jpg"),
-                    rng.integers(0, 255, size=(64, 80, 3)).astype(np.uint8))
-    return root, frames_root, train_ann, val_ann
 
 
 def summarize(results):
@@ -194,16 +115,21 @@ def main():
     ap.add_argument("--data_root", default=None,
                     help="reuse an existing study tree (default: fresh tmpdir)")
     args = ap.parse_args()
+    if args.seeds < 1:
+        ap.error("--seeds must be >= 1")
+
+    from tests.test_protocol_parity import build_parity_tree
 
     if args.data_root:
         data_root = pathlib.Path(args.data_root)
         data_root.mkdir(parents=True, exist_ok=True)
     else:
         data_root = pathlib.Path(tempfile.mkdtemp(prefix="parity_study_"))
-    tree = make_tree(data_root)
+    tree = build_parity_tree(data_root)
     work_root = data_root / "work"
 
     results = []
+    payload = {}
     for i in range(args.seeds):
         seed = args.first_seed + i
         print(f"[parity_study] seed {seed} ({i + 1}/{args.seeds}) ...", flush=True)
