@@ -246,13 +246,22 @@ def method_overrides(method: str) -> dict:
     clears the from-scratch convergence cliff (stage-0 CNN 87.5 at 0.01/24;
     at the base config's 0.02/14 it sits at chance, which would make the
     comparison vacuous): probed over {0.01,0.02,0.05,0.1}x{14..30}.
-    video_mix uses mild mixing: prob 0.25 keeps the 2-class-per-task
-    synthetic task learnable while still exercising tubemix every epoch."""
+    video_mix hyperparameters are tuned JOINTLY for both frameworks: at
+    prob=0.25/epochs=24 the 12-video task sits right on that cliff and the
+    jax side's seed-0 tubemix realization tips it to chance (stage-0 CNN
+    45.8; seed 7 converges at 70.8, prob=0 at 85.4 — determinism probes,
+    not a tubemix bug, its semantics are pinned by
+    test_tubemix_torch_mirrors_device_semantics). Swept prob {0.15, 0.25}
+    x epochs {24, 32} identically on both sides: prob=0.15/epochs=32 is
+    the strongest mixing that converges for both (stage-0 CNN torch 87.5 /
+    jax 77.1), so the comparison stays discriminative while still
+    exercising tubemix every epoch."""
     if method == "base":
         return {}
     ov = dict(methods=method, model=make_icarl_model(), num_epochs_per_task=24)
     if method == "icarl_video_mix":
-        ov.update(video_mix_prob=0.25, video_mix_alpha=1.0)
+        ov.update(video_mix_prob=0.15, video_mix_alpha=1.0,
+                  num_epochs_per_task=32)
     return ov
 
 
@@ -350,7 +359,9 @@ def test_full_protocol_accuracy_parity(parity_tree, tmp_path_factory):
 # 4.2/6.3/1.4 — bound at ~1.4x the worst observed. video_mix is wider: the
 # tubemix draws themselves cannot match across frameworks (jax mixes on
 # device inside the jitted step), so that comparison carries
-# augmentation-realization variance on top of cross-framework fp divergence.
+# augmentation-realization variance on top of cross-framework fp divergence
+# (measured at the tuned prob=0.15/epochs=32: CNN 10.4/4.2/13.2,
+# NME 2.1/1.0/6.9 pts per stage).
 @pytest.mark.parametrize(
     "method,tol", [("icarl", 10.0), ("icarl_video_mix", 15.0)]
 )
