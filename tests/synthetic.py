@@ -88,10 +88,15 @@ def make_learnable_rawframe_tree(
     frames_root.mkdir(parents=True, exist_ok=True)
     h, w = size
 
-    # well-separated class colors + a class-keyed horizontal/vertical gradient
+    # well-separated class colors + a class-keyed horizontal/vertical gradient.
+    # 2 levels/channel yields 8 corner colors; >8 classes adds the midpoint
+    # level (27 colors). Gated on num_classes so every existing <=8-class tree
+    # keeps consuming the rng stream identically (bit-identical trees).
     corners = [palette_lo, palette_hi]
+    if num_classes > 8:
+        corners = [palette_lo, (palette_lo + palette_hi) // 2, palette_hi]
     palette = rng.permutation(
-        np.stack(np.meshgrid(corners, corners, corners), -1).reshape(-1, 3)
+        np.stack(np.meshgrid(*[corners] * 3), -1).reshape(-1, 3)
     )[:num_classes]
     yy, xx = np.mgrid[0:h, 0:w]
     grads = [yy / h, xx / w, 1 - yy / h, 1 - xx / w]

@@ -184,8 +184,36 @@ TREE_PARAMS = dict(
     val_jitter=80, extra_val_videos_per_class=18,
 )
 
+# stage-DEPTH variant: the BASELINE.md north star is stated over a 10-stage
+# UCF101 protocol, so beyond per-stage bias (3-stage multi-seed study) the
+# parity evidence needs stages-deep error ACCUMULATION checked. 12 classes /
+# 6 two-class tasks is the deepest protocol the 27-color palette + mid-band
+# tuning supports here; palette spread widened (40/215, 3 levels/channel ->
+# ~87/channel spacing, comparable to the base tree's 85) so the 12-way task
+# stays learnable at the same jitter/noise difficulty.
+DEPTH_STAGES = 6
+DEPTH_TREE_PARAMS = dict(
+    num_classes=2 * DEPTH_STAGES, train_videos_per_class=6,
+    val_videos_per_class=6, num_frames=8, size=(64, 80), seed=3,
+    noise=60, video_jitter=42, palette_lo=40, palette_hi=215,
+    val_jitter=80, extra_val_videos_per_class=18,
+)
 
-def build_parity_tree(root):
+
+def depth_overrides(stages: int = DEPTH_STAGES) -> dict:
+    """Config overrides turning the 3-task protocol into a ``stages``-deep
+    one (two classes per task, KD scales from the reference formula)."""
+    from bdvcil_tpu.protocol import adaptive_scale_factors
+
+    splits = [[2 * t, 2 * t + 1] for t in range(stages)]
+    return dict(
+        task_splits=splits,
+        ending_task=stages - 1,
+        adaptive_scale_factors=adaptive_scale_factors(splits),
+    )
+
+
+def build_parity_tree(root, params=None):
     """Build the tuned parity tree + background dir under ``root``.
 
     Difficulty tuned so BOTH metrics land mid-band at every stage (the
@@ -206,7 +234,7 @@ def build_parity_tree(root):
     from tests.synthetic import make_learnable_rawframe_tree
 
     frames_root, train_ann, val_ann = make_learnable_rawframe_tree(
-        root, **TREE_PARAMS
+        root, **(params or TREE_PARAMS)
     )
     # backgrounds for the BackgroundMixDataset pipeline
     bg_dir = root / "bg"

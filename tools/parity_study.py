@@ -42,7 +42,8 @@ if jax.__version__:  # force CPU even when a TPU plugin is registered
 import numpy as np
 
 
-def run_pair(tree, work_root: pathlib.Path, method: str, seed: int):
+def run_pair(tree, work_root: pathlib.Path, method: str, seed: int,
+             extra_overrides=None):
     """One paired run via the tests' shared runner (seed overrides the config
     seed — TorchMiniCIL seeds torch from it, so init differs per seed and is
     converted so both sides share it). Returns per-stage average CNN/NME
@@ -57,6 +58,7 @@ def run_pair(tree, work_root: pathlib.Path, method: str, seed: int):
         method=method,
         timings=timings,
         seed=seed,
+        **(extra_overrides or {}),
     )
     return dict(
         seed=seed,
@@ -114,37 +116,71 @@ def main():
     ap.add_argument("--out", default="parity_study.json")
     ap.add_argument("--data_root", default=None,
                     help="reuse an existing study tree (default: fresh tmpdir)")
+    ap.add_argument("--resume", action="store_true",
+                    help="load existing --out runs (same method) and only run "
+                         "seeds not already present")
+    ap.add_argument("--stages", type=int, default=3,
+                    help="protocol depth: 3 = the tuned base tree; other "
+                         "values build the 2-classes-per-task DEPTH tree "
+                         "(stage-deep error-accumulation evidence)")
     args = ap.parse_args()
     if args.seeds < 1:
         ap.error("--seeds must be >= 1")
 
-    from tests.test_protocol_parity import build_parity_tree
+    from tests.test_protocol_parity import (
+        DEPTH_TREE_PARAMS, build_parity_tree, depth_overrides)
 
     if args.data_root:
         data_root = pathlib.Path(args.data_root)
         data_root.mkdir(parents=True, exist_ok=True)
     else:
         data_root = pathlib.Path(tempfile.mkdtemp(prefix="parity_study_"))
-    tree = build_parity_tree(data_root)
+    extra_overrides = None
+    if args.stages != 3:
+        tree_params = dict(DEPTH_TREE_PARAMS, num_classes=2 * args.stages)
+        tree = build_parity_tree(data_root, tree_params)
+        extra_overrides = depth_overrides(args.stages)
+    else:
+        tree = build_parity_tree(data_root)
     work_root = data_root / "work"
 
     results = []
+    if args.resume and os.path.exists(args.out):
+        prior = json.load(open(args.out))
+        if (prior.get("method"), prior.get("stages", 3)) != (args.method, args.stages):
+            ap.error(f"--resume: {args.out} holds method "
+                     f"{prior.get('method')!r} at {prior.get('stages', 3)} "
+                     f"stages, not {args.method!r} at {args.stages}")
+        results = list(prior["runs"])
+        print(f"[parity_study] resumed {len(results)} runs "
+              f"(seeds {[r['seed'] for r in results]})", flush=True)
+
+    done = {r["seed"] for r in results}
     payload = {}
     for i in range(args.seeds):
         seed = args.first_seed + i
+        if seed in done:
+            continue
         print(f"[parity_study] seed {seed} ({i + 1}/{args.seeds}) ...", flush=True)
-        r = run_pair(tree, work_root, args.method, seed)
+        r = run_pair(tree, work_root, args.method, seed, extra_overrides)
         results.append(r)
         print(f"[parity_study] seed {seed}: "
               f"CNN torch={r['cnn_torch']} jax={r['cnn_jax']} | "
               f"NME torch={r['nme_torch']} jax={r['nme_jax']} "
               f"({r['wall_torch_s']}s torch, {r['wall_jax_s']}s jax)", flush=True)
         # incremental dump so a killed run still leaves evidence
-        payload = dict(method=args.method, n_seeds=len(results), runs=results,
+        payload = dict(method=args.method, stages=args.stages,
+                       n_seeds=len(results), runs=results,
                        summary=summarize(results))
         with open(args.out, "w") as f:
             json.dump(payload, f, indent=1)
 
+    if not payload:  # --resume with every requested seed already present
+        payload = dict(method=args.method, stages=args.stages,
+                       n_seeds=len(results), runs=results,
+                       summary=summarize(results))
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
     print(json.dumps(payload["summary"], indent=1))
     print(f"[parity_study] wrote {args.out}")
 
