@@ -482,7 +482,9 @@ class CILTrainer:
             if op.get("type") == "MultiScaleCrop":
                 size = op.get("input_size", 224)
                 crop_size = size[0] if isinstance(size, (tuple, list)) else size
-                msc_scales = tuple(op.get("scales", msc_scales))
+                # omitted scales = the HOST op's default (1,), not a guess —
+                # the gate above guarantees MSC is present
+                msc_scales = tuple(op.get("scales", (1,)))
             elif op.get("type") == "Resize":
                 scale = op.get("scale")
                 if op.get("keep_ratio", True):

@@ -124,16 +124,22 @@ def fast_pipeline_mismatch(pipeline, *, num_segments: int, randaug_prob: float):
         "Collect",
         "ToTensor",
     }
-    saw_randaug = False
+    # Omitted per-op params must be filled with the HOST op's defaults (the
+    # behavior the fast path has to reproduce), never with the fast path's
+    # own expectation — op.get('prob', randaug_prob) would wave through a
+    # pipeline the host runs at prob=0.5 while the fast path runs it at the
+    # config's randAug_prob.
+    sig = []  # semantic op sequence, order-checked against the canonical chain
+    msc_size = fixed_resize = None
     for op in pipeline:
         t = op.get("type")
         if t not in supported:
             return f"pipeline op {t!r} is not implemented by the fast path"
-        saw_randaug = saw_randaug or t == "RandAugment"
         if t == "SampleFrames":
             if op.get("clip_len", 1) != 1 or op.get("frame_interval", 1) != 1:
                 return "fast path only implements SampleFrames(clip_len=1, frame_interval=1)"
-            if int(op.get("num_clips", num_segments)) != int(num_segments):
+            # host default num_clips=1 (data/sampling.py)
+            if int(op.get("num_clips", 1)) != int(num_segments):
                 return "SampleFrames num_clips differs from the model's num_segments"
             if op.get("test_mode", False):
                 return "test-mode SampleFrames in a train pipeline"
@@ -142,20 +148,30 @@ def fast_pipeline_mismatch(pipeline, *, num_segments: int, randaug_prob: float):
             if op.get("keep_ratio", True):
                 if not (isinstance(scale, (tuple, list)) and scale[0] == -1):
                     return f"keep-ratio Resize with scale {scale!r} (only (-1, S) supported)"
-            elif not (isinstance(scale, (tuple, list)) and scale[0] == scale[1]):
-                return f"fixed Resize with non-square scale {scale!r}"
+            else:
+                if not (isinstance(scale, (tuple, list)) and scale[0] == scale[1]):
+                    return f"fixed Resize with non-square scale {scale!r}"
+                fixed_resize = int(scale[0])
         elif t == "RandAugment":
             if int(op.get("n", 2)) != 2 or int(op.get("m", 10)) != 10:
                 return "RandAugment n/m differ from the fast path's (2, 10)"
-            if abs(float(op.get("prob", randaug_prob)) - float(randaug_prob)) > 1e-9:
+            # host default prob=0.5 (data/rand_augment.py); when the config
+            # disables the loader's RandAugment entirely (randaug_prob < 0)
+            # the presence check below gives the clearer reason
+            if randaug_prob >= 0 and abs(
+                float(op.get("prob", 0.5)) - float(randaug_prob)
+            ) > 1e-9:
                 return "RandAugment prob differs from config randAug_prob"
         elif t == "MultiScaleCrop":
             if op.get("random_crop", False):
                 return "MultiScaleCrop(random_crop=True) is not implemented"
             if int(op.get("max_wh_scale_gap", 1)) != 1:
                 return "MultiScaleCrop max_wh_scale_gap != 1 is not implemented"
-            if int(op.get("num_fixed_crops", 13)) != 13:
+            # host default num_fixed_crops=5 (data/transforms.py)
+            if int(op.get("num_fixed_crops", 5)) != 13:
                 return "MultiScaleCrop num_fixed_crops != 13 is not implemented"
+            size = op.get("input_size")
+            msc_size = size[0] if isinstance(size, (tuple, list)) else size
         elif t == "Normalize":
             if op.get("to_bgr", False):
                 return "Normalize(to_bgr=True) is not implemented"
@@ -165,10 +181,34 @@ def fast_pipeline_mismatch(pipeline, *, num_segments: int, randaug_prob: float):
             # NCHW is fine — only exotic layouts decline
             if op.get("input_format", "NHWC") not in ("NHWC", "NCHW"):
                 return f"FormatShape {op.get('input_format')!r} (fast path emits NHWC)"
-    if not saw_randaug and randaug_prob >= 0:
+        if t == "Resize":
+            sig.append("Resize(-1,S)" if op.get("keep_ratio", True) else "Resize(square)")
+        elif t not in ("Collect", "ToTensor"):  # metadata-only ops
+            sig.append(t)
+    # exact chain: the fast path implements the canonical sequence as ONE
+    # fused recipe, so the ops must all be present and in canonical order —
+    # a reordered / partial pipeline (e.g. RandAugment after the crop, or a
+    # missing Normalize) computes different pixels on the host
+    canonical = ["SampleFrames", "RawFrameDecode", "Resize(-1,S)", "RandAugment",
+                 "MultiScaleCrop", "Resize(square)", "Normalize", "FormatShape"]
+    if randaug_prob < 0:
+        canonical.remove("RandAugment")
+        if "RandAugment" in sig:
+            return "pipeline has RandAugment but config randAug_prob < 0"
+    elif "RandAugment" not in sig:
         # the loader would apply RandAugment (config randAug_prob >= 0) that
         # the configured host pipeline does not contain
         return "config randAug_prob >= 0 but the pipeline has no RandAugment op"
+    if sig != canonical:
+        return f"pipeline op sequence {sig} != canonical fast-path chain {canonical}"
+    # the fast path draws MSC crop boxes sized from the FINAL square size
+    # (decode-to-output), which is only equivalent when the host's MSC
+    # input_size equals the fixed Resize scale (true of every reference
+    # config; a 224-crop-then-256-upscale pipeline is a different crop-box
+    # distribution)
+    if int(msc_size) != int(fixed_resize):
+        return (f"MultiScaleCrop input_size {msc_size} != fixed Resize scale "
+                f"{fixed_resize} (fast path decodes straight to the output square)")
     return None
 
 
@@ -526,21 +566,10 @@ def make_fast_input_fn(
             sel = batch["apply_randaug"][:, None, None, None, None]
             imgs_u8 = jnp.where(sel, augmented, imgs_u8)
         out_dtype = dtype if dtype is not None else jnp.float32
-        if not with_bgmix:
-            return fused_train_augment(
-                imgs_u8,
-                None,
-                None,
-                batch["flip"],
-                alpha=alpha,
-                mean=mean,
-                std=std,
-                dtype=out_dtype,
-            )
         return fused_train_augment(
             imgs_u8,
-            bg_u8,
-            batch["apply_bgmix"],
+            bg_u8 if with_bgmix else None,
+            batch["apply_bgmix"] if with_bgmix else None,
             batch["flip"],
             alpha=alpha,
             mean=mean,

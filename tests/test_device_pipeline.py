@@ -552,5 +552,40 @@ def test_fast_pipeline_mismatch_gate():
     nchw = [dict(op) for op in train]
     nchw[7]["input_format"] = "NCHW"
     assert fast_pipeline_mismatch(nchw, num_segments=8, randaug_prob=0.75) is None
+
+    # omitted params must be filled with the HOST ops' defaults, not the fast
+    # path's expectations: RandAugment defaults prob=0.5 (rand_augment.py),
+    # MultiScaleCrop defaults num_fixed_crops=5 (transforms.py), SampleFrames
+    # defaults num_clips=1 (sampling.py) — each omission is a real host-path
+    # behavior the fast path does not match
+    bad = [dict(op) for op in train]
+    bad[3].pop("prob")
+    assert "prob" in fast_pipeline_mismatch(bad, num_segments=8, randaug_prob=0.75)
+    assert fast_pipeline_mismatch(bad, num_segments=8, randaug_prob=0.5) is None
+    bad = [dict(op) for op in train]
+    bad[4].pop("num_fixed_crops")
+    assert "num_fixed_crops" in fast_pipeline_mismatch(bad, num_segments=8, randaug_prob=0.75)
+    bad = [dict(op) for op in train]
+    bad[0].pop("num_clips")
+    assert "num_clips" in fast_pipeline_mismatch(bad, num_segments=8, randaug_prob=0.75)
+    assert fast_pipeline_mismatch(bad, num_segments=1, randaug_prob=0.75) is None
+
+    # op ORDER is part of the contract: RandAugment after the crop is a
+    # different augmentation distribution even with identical op params
+    reordered = [dict(op) for op in train]
+    reordered[3], reordered[5] = reordered[5], reordered[3]
+    assert "sequence" in fast_pipeline_mismatch(reordered, num_segments=8, randaug_prob=0.75)
+    # a partial chain (missing Normalize) must decline, not silently diverge
+    partial = [dict(op) for op in train if op["type"] != "Normalize"]
+    assert "sequence" in fast_pipeline_mismatch(partial, num_segments=8, randaug_prob=0.75)
+    # config says no RandAugment but the host pipeline has one
+    assert "randAug_prob < 0" in fast_pipeline_mismatch(train, num_segments=8, randaug_prob=-1.0)
+
+    # MSC input_size must equal the fixed Resize scale: the fast path decodes
+    # straight to the output square, so crop-at-224-then-upscale-to-256 is a
+    # different crop-box distribution
+    bad = [dict(op) for op in train]
+    bad[5] = dict(bad[5], scale=(256, 256))
+    assert "input_size" in fast_pipeline_mismatch(bad, num_segments=8, randaug_prob=0.75)
     nchw[7]["input_format"] = "NCTHW"
     assert "NCTHW" in fast_pipeline_mismatch(nchw, num_segments=8, randaug_prob=0.75)

@@ -126,6 +126,9 @@ def main():
     args = ap.parse_args()
     if args.seeds < 1:
         ap.error("--seeds must be >= 1")
+    if not (2 <= args.stages <= 13):
+        # 2 classes/task over the synthetic 27-color palette caps depth at 13
+        ap.error("--stages must be in [2, 13] (palette has 27 class colors)")
 
     from tests.test_protocol_parity import (
         DEPTH_TREE_PARAMS, build_parity_tree, depth_overrides)
