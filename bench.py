@@ -37,6 +37,80 @@ if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
 
 BASELINE_CLIPS_PER_SEC_PER_CHIP = 15.0
 
+# Long-running repo tooling (tools/parity_study.py) registers its PID here so
+# a driver bench run doesn't measure e2e throughput against our own CPU-bound
+# background studies. The bench SIGSTOPs those process trees for the duration
+# and SIGCONTs them on exit — pausing only processes whose cmdline actually
+# matches the registered tool, so a recycled PID is never touched.
+PAUSE_PIDS_FILE = os.environ.get("BDVC_BENCH_PAUSE_PIDS", "/tmp/bdvc_bench_pause.pids")
+
+
+def _pid_cmdline(pid):
+    try:
+        with open(f"/proc/{pid}/cmdline", "rb") as f:
+            return f.read().replace(b"\x00", b" ").decode("utf-8", "replace")
+    except OSError:
+        return ""
+
+
+def _descendants(roots):
+    """roots + all transitive children, parents before children."""
+    ppid_map = {}
+    for ent in os.listdir("/proc"):
+        if not ent.isdigit():
+            continue
+        try:
+            with open(f"/proc/{ent}/stat") as f:
+                ppid = int(f.read().split(")")[-1].split()[1])
+        except (OSError, ValueError, IndexError):
+            continue
+        ppid_map.setdefault(ppid, []).append(int(ent))
+    out, queue = [], list(roots)
+    while queue:
+        pid = queue.pop(0)
+        out.append(pid)
+        queue.extend(ppid_map.get(pid, []))
+    return out
+
+
+def _pause_registered_background_work():
+    """SIGSTOP registered background study trees; return a resume callback."""
+    import signal
+
+    try:
+        with open(PAUSE_PIDS_FILE) as f:
+            entries = [ln.split() for ln in f if ln.strip()]
+    except OSError:
+        return lambda: None
+    roots = []
+    for parts in entries:
+        try:
+            pid, tag = int(parts[0]), (parts[1] if len(parts) > 1 else "")
+        except ValueError:
+            continue
+        # Only honor a root whose live cmdline still matches its tag.
+        if tag and tag in _pid_cmdline(pid):
+            roots.append(pid)
+    if not roots:
+        return lambda: None
+    paused = []
+    for pid in _descendants(roots):
+        try:
+            os.kill(pid, signal.SIGSTOP)
+            paused.append(pid)
+        except OSError:
+            pass
+    print(f"[bench] paused {len(paused)} background study processes", file=sys.stderr)
+
+    def resume():
+        for pid in reversed(paused):
+            try:
+                os.kill(pid, signal.SIGCONT)
+            except OSError:
+                pass
+
+    return resume
+
 
 def bench_input():
     """BENCH_MODE=input — native C++ decode path vs the cv2 host pipeline on
@@ -575,23 +649,30 @@ def main(extras=None):
 
 
 if __name__ == "__main__":
-    mode = os.environ.get("BENCH_MODE", "train")
-    if mode == "input":
-        bench_input()
-    elif mode == "train_e2e":
-        bench_train_e2e()
-    elif mode == "train_e2e_acm":
-        bench_train_e2e_acm()
-    elif mode == "eval_e2e":
-        bench_eval_e2e()
-    else:
-        # default driver run: ONE JSON line whose headline is the device-step
-        # metric, with the end-to-end (input-included) numbers and host decode
-        # capability as extra keys (VERDICT #4: BENCH_r{N}.json carries both)
-        extras = None
-        if not os.environ.get("BENCH_SKIP_E2E"):
-            try:
-                extras = bench_train_e2e(print_json=False)
-            except Exception as e:  # never lose the headline metric
-                extras = {"e2e_error": str(e)[:200]}
-        main(extras)
+    import atexit
+
+    _resume = _pause_registered_background_work()
+    atexit.register(_resume)
+    try:
+        mode = os.environ.get("BENCH_MODE", "train")
+        if mode == "input":
+            bench_input()
+        elif mode == "train_e2e":
+            bench_train_e2e()
+        elif mode == "train_e2e_acm":
+            bench_train_e2e_acm()
+        elif mode == "eval_e2e":
+            bench_eval_e2e()
+        else:
+            # default driver run: ONE JSON line whose headline is the device-step
+            # metric, with the end-to-end (input-included) numbers and host decode
+            # capability as extra keys (VERDICT #4: BENCH_r{N}.json carries both)
+            extras = None
+            if not os.environ.get("BENCH_SKIP_E2E"):
+                try:
+                    extras = bench_train_e2e(print_json=False)
+                except Exception as e:  # never lose the headline metric
+                    extras = {"e2e_error": str(e)[:200]}
+            main(extras)
+    finally:
+        _resume()

@@ -107,7 +107,21 @@ def summarize(results):
     return out
 
 
+def _register_for_bench_pause():
+    """Append this PID to the bench pause file (bench.py PAUSE_PIDS_FILE) so
+    a concurrent driver bench can SIGSTOP us instead of measuring e2e
+    throughput against our CPU load; entry is tag-validated against the live
+    cmdline, so no cleanup is needed on exit."""
+    path = os.environ.get("BDVC_BENCH_PAUSE_PIDS", "/tmp/bdvc_bench_pause.pids")
+    try:
+        with open(path, "a") as f:
+            f.write(f"{os.getpid()} parity_study\n")
+    except OSError:
+        pass
+
+
 def main():
+    _register_for_bench_pause()
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=5, help="number of paired runs")
     ap.add_argument("--first_seed", type=int, default=0)
