@@ -475,7 +475,10 @@ class CILTrainer:
         # derive crop geometry + normalization from the configured train pipeline
         crop_size = 224
         short_side = None
-        msc_scales = (1.0, 0.875, 0.75, 0.66)
+        # no default: the gate above guarantees a MultiScaleCrop op, so the
+        # loop always assigns this — a stale "default" here would invite the
+        # wrong-scales bug the (1,)-host-default fix removed
+        msc_scales = None
         norm_mean = (123.675, 116.28, 103.53)
         norm_std = (58.395, 57.12, 57.375)
         for op in self.config.data.train.get("pipeline", []):
@@ -554,13 +557,30 @@ class CILTrainer:
         fused on device (data/device_pipeline.FastACMLoader +
         make_fast_acm_input_fn; reference actor_cut_mix_loader.py:117-152).
         The reference hardcodes the ACM geometry (256 short side, 224 crops,
-        MSC scales, flip 0.5, det thres 0.4) inside the dataset — mirrored
-        here."""
+        MSC scales, flip 0.5, det thres 0.4, num_clips=8) inside the dataset —
+        so unlike the BGMix branch there is no config-pipeline gate to run:
+        ActorCutMixDataset pops the config pipeline entirely (datasets.py)
+        and the fast path mirrors the same hardcoded chain. The one config
+        knob that can still diverge is the model's num_segments vs the
+        dataset's hardcoded num_clips=8 — declined explicitly below."""
         from ..data.device_pipeline import (
             FastACMLoader,
             make_fast_acm_input_fn,
             resolve_wire_format,
         )
+
+        if int(self.spec.num_segments) != 8:
+            # the host ActorCutMixDataset samples a hardcoded 8 clips
+            # (datasets.py randaug/scene/action pipelines; reference
+            # actor_cut_mix_loader.py:39-103) regardless of the model spec —
+            # a fast loader driven by spec.num_segments would silently train
+            # on a different temporal sampling
+            logger.warning(
+                "fast ACM input pipeline declined (model num_segments=%d != "
+                "the dataset's hardcoded num_clips=8); using host pipeline",
+                self.spec.num_segments,
+            )
+            return None, None
 
         # same wire-format policy as the BGMix branch: YUV420 planes halve
         # the 2-clips-per-sample wire of this family; 'planes' ships both
@@ -584,7 +604,13 @@ class CILTrainer:
         )
         logger.info("fast ACM input pipeline: %s wire format", loader.wire_format)
         return loader, make_fast_acm_input_fn(
-            dtype=self.spec.dtype, wire_format=loader.wire_format
+            # couple the device normalize to the dataset's hardcoded constants
+            # (IMG_NORM, actor_cut_mix_loader.py:33-36) instead of relying on
+            # the two defaults staying in sync
+            mean=tuple(ds.IMG_NORM["mean"]),
+            std=tuple(ds.IMG_NORM["std"]),
+            dtype=self.spec.dtype,
+            wire_format=loader.wire_format,
         )
 
     def train_task(self) -> None:

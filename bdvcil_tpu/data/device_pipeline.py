@@ -171,7 +171,15 @@ def fast_pipeline_mismatch(pipeline, *, num_segments: int, randaug_prob: float):
             if int(op.get("num_fixed_crops", 5)) != 13:
                 return "MultiScaleCrop num_fixed_crops != 13 is not implemented"
             size = op.get("input_size")
-            msc_size = size[0] if isinstance(size, (tuple, list)) else size
+            if isinstance(size, (tuple, list)):
+                # a non-square input_size changes the host crop-box shape —
+                # collapsing it to size[0] would wave a (224, 256) MSC
+                # through the exactness gate
+                if len(size) != 2 or int(size[0]) != int(size[1]):
+                    return (f"MultiScaleCrop non-square input_size {tuple(size)!r} "
+                            "is not implemented by the fast path")
+                size = size[0]
+            msc_size = size
         elif t == "Normalize":
             if op.get("to_bgr", False):
                 return "Normalize(to_bgr=True) is not implemented"

@@ -650,9 +650,24 @@ def main(extras=None):
 
 if __name__ == "__main__":
     import atexit
+    import signal as _signal
 
     _resume = _pause_registered_background_work()
     atexit.register(_resume)
+
+    def _resume_and_die(signum, frame):
+        # A watchdog SIGTERM (e.g. `timeout 600 python bench.py`) skips both
+        # atexit and `finally:` — without this handler the SIGSTOPped study
+        # trees would stay frozen forever.
+        _resume()
+        _signal.signal(signum, _signal.SIG_DFL)
+        os.kill(os.getpid(), signum)
+
+    for _sig in (_signal.SIGTERM, _signal.SIGINT, _signal.SIGHUP):
+        try:
+            _signal.signal(_sig, _resume_and_die)
+        except (ValueError, OSError):
+            pass
     try:
         mode = os.environ.get("BENCH_MODE", "train")
         if mode == "input":

@@ -102,6 +102,10 @@ def test_tubemix_torch_mirrors_device_semantics():
     mixed_rows = [i for i in range(b) if not torch.equal(out_t[i], targets[i])]
     assert mixed_rows, "perm mixed at least one row for this seed"
     for i in mixed_rows:
-        lam_t = out_t[i].max().item()
+        # read lam at the ORIGINAL class's coefficient — max() only equals
+        # lam when lam >= 0.5, which is a property of this seed's box draw,
+        # not of the op (a clipped box covering more than half the frame
+        # gives lam < 0.5 and max() = 1 - lam)
+        lam_t = out_t[i][targets[i].argmax()].item()
         area = box_mask[i].sum().item()
         np.testing.assert_allclose(lam_t, 1.0 - area / (h * w), rtol=1e-5)

@@ -589,3 +589,13 @@ def test_fast_pipeline_mismatch_gate():
     assert "input_size" in fast_pipeline_mismatch(bad, num_segments=8, randaug_prob=0.75)
     nchw[7]["input_format"] = "NCTHW"
     assert "NCTHW" in fast_pipeline_mismatch(nchw, num_segments=8, randaug_prob=0.75)
+
+    # a NON-SQUARE tuple input_size crops differently-shaped boxes on the
+    # host — it must decline, not collapse to size[0] and pass
+    bad = [dict(op) for op in train]
+    bad[4] = dict(bad[4], input_size=(224, 256))
+    assert "non-square" in fast_pipeline_mismatch(bad, num_segments=8, randaug_prob=0.75)
+    # a square TUPLE is the same geometry as the scalar and stays accepted
+    ok = [dict(op) for op in train]
+    ok[4] = dict(ok[4], input_size=(224, 224))
+    assert fast_pipeline_mismatch(ok, num_segments=8, randaug_prob=0.75) is None

@@ -391,6 +391,21 @@ def test_cil_acm_fast_path_e2e(tmp_path_factory):
     trainer.train()
     assert (work_dir / "ckpt" / "ckpt_task_1.msgpack").exists()
 
+    # the ACM dataset hardcodes num_clips=8 (reference
+    # actor_cut_mix_loader.py:39-103); a model spec with a different
+    # num_segments must DECLINE the fast path (the host path keeps the
+    # dataset's own sampling), not drive the fast loader at spec segments
+    cfg4 = Config.fromdict(
+        make_acm_cil_config(frames_root, train_ann, val_ann, det_file,
+                            tmp_path_factory.mktemp("work_acm_seg4"),
+                            use_fast_input_pipeline=True)
+    )
+    cfg4.model.backbone.num_segments = 4
+    cfg4.model.cls_head.num_segments = 4
+    trainer4 = CILTrainer(cfg4, dump_config=False)
+    loader4, input_fn4 = trainer4._try_fast_loader()
+    assert loader4 is None and input_fn4 is None
+
 
 def test_fast_acm_loader_zero_based_frames_and_dense_boxes(tmp_path):
     """Regression (round-3 review): the loader honors non-default

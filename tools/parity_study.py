@@ -172,8 +172,15 @@ def main():
         print(f"[parity_study] resumed {len(results)} runs "
               f"(seeds {[r['seed'] for r in results]})", flush=True)
 
+    def dump():
+        payload = dict(method=args.method, stages=args.stages,
+                       n_seeds=len(results), runs=results,
+                       summary=summarize(results))
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
+        return payload
+
     done = {r["seed"] for r in results}
-    payload = {}
     for i in range(args.seeds):
         seed = args.first_seed + i
         if seed in done:
@@ -185,19 +192,9 @@ def main():
               f"CNN torch={r['cnn_torch']} jax={r['cnn_jax']} | "
               f"NME torch={r['nme_torch']} jax={r['nme_jax']} "
               f"({r['wall_torch_s']}s torch, {r['wall_jax_s']}s jax)", flush=True)
-        # incremental dump so a killed run still leaves evidence
-        payload = dict(method=args.method, stages=args.stages,
-                       n_seeds=len(results), runs=results,
-                       summary=summarize(results))
-        with open(args.out, "w") as f:
-            json.dump(payload, f, indent=1)
+        dump()  # incremental, so a killed run still leaves evidence
 
-    if not payload:  # --resume with every requested seed already present
-        payload = dict(method=args.method, stages=args.stages,
-                       n_seeds=len(results), runs=results,
-                       summary=summarize(results))
-        with open(args.out, "w") as f:
-            json.dump(payload, f, indent=1)
+    payload = dump()
     print(json.dumps(payload["summary"], indent=1))
     print(f"[parity_study] wrote {args.out}")
 
