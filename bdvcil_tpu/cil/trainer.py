@@ -569,16 +569,17 @@ class CILTrainer:
             resolve_wire_format,
         )
 
-        if int(self.spec.num_segments) != 8:
-            # the host ActorCutMixDataset samples a hardcoded 8 clips
+        if int(self.spec.num_segments) != type(ds).NUM_CLIPS:
+            # the host ActorCutMixDataset samples a hardcoded NUM_CLIPS clips
             # (datasets.py randaug/scene/action pipelines; reference
             # actor_cut_mix_loader.py:39-103) regardless of the model spec —
             # a fast loader driven by spec.num_segments would silently train
             # on a different temporal sampling
             logger.warning(
                 "fast ACM input pipeline declined (model num_segments=%d != "
-                "the dataset's hardcoded num_clips=8); using host pipeline",
+                "the dataset's hardcoded num_clips=%d); using host pipeline",
                 self.spec.num_segments,
+                type(ds).NUM_CLIPS,
             )
             return None, None
 

@@ -272,6 +272,10 @@ class ActorCutMixDataset(RawframeDataset):
     """
 
     IMG_NORM = dict(mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375], to_bgr=False)
+    # the reference hardcodes 8-clip sampling inside every internal pipeline
+    # (actor_cut_mix_loader.py:39-103); the trainer's fast-ACM gate compares
+    # the model's num_segments against THIS constant so the two can't drift
+    NUM_CLIPS = 8
 
     def __init__(
         self,
@@ -281,7 +285,7 @@ class ActorCutMixDataset(RawframeDataset):
         **kwargs,
     ):
         randaug_pipeline = [
-            dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8),
+            dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=self.NUM_CLIPS),
             dict(type="RawFrameDecode"),
             dict(type="Resize", scale=(-1, 256)),
             dict(type="RandAugment", n=2, m=10, prob=1),
@@ -306,7 +310,7 @@ class ActorCutMixDataset(RawframeDataset):
 
         self.scene_pipeline = Compose(
             [
-                dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8),
+                dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=self.NUM_CLIPS),
                 dict(type="RawFrameDecode"),
                 dict(type="DetectionLoad", thres=0.4),
                 dict(type="ResizeWithBox", scale=(-1, 256)),
@@ -317,7 +321,7 @@ class ActorCutMixDataset(RawframeDataset):
         )
         self.action_pipeline = Compose(
             [
-                dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8),
+                dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=self.NUM_CLIPS),
                 dict(type="RawFrameDecode"),
                 dict(type="DetectionLoad", thres=0.4),
                 dict(type="ResizeWithBox", scale=(-1, 256)),

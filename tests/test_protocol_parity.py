@@ -294,13 +294,21 @@ def method_overrides(method: str) -> dict:
 
 
 def run_protocol_pair(
-    tree, work_torch, work_jax, method="base", timings=None, **extra_overrides
+    tree, work_torch, work_jax, method="base", timings=None,
+    jax_overrides=None, **extra_overrides
 ):
     """One paired (torch, jax) full-protocol run: same tree, same init, same
     data order. Returns (TorchMiniCIL, CILTrainer) after both trained —
     the single pair-runner shared by every parity test and the study tool
     (tools/parity_study.py). Pass a dict as ``timings`` to receive per-side
-    train wall seconds."""
+    train wall seconds.
+
+    ``jax_overrides`` apply to the jax config ONLY — used by the study
+    tool's --platform tpu mode to rescale per-device batch sizes for a
+    1-device mesh while the global batch stays 8. TorchMiniCIL hardcodes a
+    world_size-8 mirror (torch_cil_reference.py controller stub), so a
+    shared videos_per_gpu override would silently change the torch side's
+    GLOBAL batch and its training dynamics with it."""
     import time
 
     from bdvcil_tpu.cil import CILTrainer
@@ -312,7 +320,8 @@ def run_protocol_pair(
         root, frames_root, train_ann, val_ann, work_torch, **overrides
     )
     cfg_jax = make_parity_config(
-        root, frames_root, train_ann, val_ann, work_jax, **overrides
+        root, frames_root, train_ann, val_ann, work_jax,
+        **dict(overrides, **(jax_overrides or {}))
     )
     if method != "base":
         cfg_torch.optimizer["lr"] = cfg_jax.optimizer["lr"] = 0.01
