@@ -26,6 +26,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # transport costs 5-10 min; reruns hit the cache. Opt out by setting the
 # var to an empty string.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+# Under the axon tunnel the persistent cache only populates with these two
+# thresholds set explicitly (measured round 4: 11.7 s tiny-jit compile ->
+# 0.27 s in a fresh process on a hit; with the defaults the dir stayed
+# empty all of round 3). This removes the ~10-25 min cold remote-compile
+# tax from every bench/profile relaunch in the same round.
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 # Honor an explicit CPU request (smoke-testing the bench off-chip): some
 # images register a TPU plugin whose get_backend hook wins over the

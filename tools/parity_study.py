@@ -46,6 +46,14 @@ elif any(a.startswith("--platform=") for a in sys.argv[1:]):
 if _PLATFORM == "cpu":
     os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+else:
+    # tunneled-TPU remote compiles are the startup cost of the tpu mode;
+    # the persistent cache only populates under axon with these thresholds
+    # set explicitly (see bench.py), and makes every later study process
+    # start hot (the study shapes repeat across methods and seeds)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 import jax
 

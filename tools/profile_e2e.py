@@ -31,6 +31,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+# Under the axon tunnel the persistent cache only populates with these two
+# thresholds set explicitly (measured round 4: 11.7 s tiny-jit compile ->
+# 0.27 s in a fresh process on a hit; with the defaults the dir stayed
+# empty all of round 3). This removes the ~10-25 min cold remote-compile
+# tax from every bench/profile relaunch in the same round.
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 
 def build(batch, num_videos):
