@@ -295,6 +295,12 @@ class CILDataModule:
                     filename_tmpl=dataset.filename_tmpl,
                     start_index=dataset.start_index,
                     tencrop=tencrop,
+                    # 'auto' -> full-frame YUV420 wire when the native
+                    # kernel provides it: each frame ships once (resized
+                    # planes) and TenCrop slicing/flips/YCbCr->RGB run on
+                    # device; 'rgb' restores the bit-identical host-crop
+                    # wire (FastEvalLoader docstring)
+                    wire_format=str(self.config.get("fast_eval_wire_format", "auto")),
                 )
         return DataLoader(
             dataset,

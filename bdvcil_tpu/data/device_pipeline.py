@@ -596,6 +596,23 @@ class FastEvalLoader:
     Normalize -> NHWC): host does decode+resize+center-crop to uint8, the
     eval step normalizes on device (make_eval_step handles uint8 inputs).
     Emits {'imgs': (B, T, c, c, 3) u8, 'label': (B, 1)} in dataset order.
+
+    wire_format:
+      * 'rgb'         — uint8 RGB crops ((B,T,c,c,3), or (B,T,5,c,c,3)
+                        TenCrop; flips on device)
+      * 'yuv420_full' — full-frame YUV420 wire: each frame short-side-
+                        resized ONCE into fixed padded planes
+                        (native.decode_yuv420_full_batch) + per-sample
+                        (y, x) crop offsets; crop slicing, flips, YCbCr->RGB
+                        and normalize all run on device
+                        (ops/augment.eval_yuv_full_crops). Host work drops
+                        to one windowed plane resize per frame and TenCrop
+                        wire bytes drop ~5.6x (5 overlapping RGB crops ->
+                        one ~131 KB frame) — the reference's host TenCrop
+                        chain (five_crops.py + test pipeline) replaced by a
+                        ship-once wire.
+      * 'auto'        — 'yuv420_full' when the native kernel provides it,
+                        else 'rgb'.
     """
 
     def __init__(
@@ -613,9 +630,19 @@ class FastEvalLoader:
         tencrop: bool = False,
         process_index: int = None,
         process_count: int = None,
+        wire_format: str = "rgb",
     ):
         if not native.available():
             raise RuntimeError("native decoder unavailable; use the standard DataLoader")
+        if wire_format == "auto":
+            wire_format = "yuv420_full" if native.has_yuv420_full() else "rgb"
+        if wire_format not in ("rgb", "yuv420_full"):
+            raise ValueError(f"unknown eval wire_format {wire_format!r}")
+        if wire_format == "yuv420_full" and not native.has_yuv420_full():
+            raise RuntimeError("native decoder lacks bdvc_decode_yuv420_full_batch")
+        self.wire_format = wire_format
+        self._dims: Dict[str, tuple] = {}
+        self._pad_w = self._pad_h = 0
         self.video_infos = list(video_infos)
         self.batch_size = batch_size  # GLOBAL batch size
         if process_count is None:
@@ -650,18 +677,88 @@ class FastEvalLoader:
     def __len__(self) -> int:
         return -(-len(self.video_infos) // self.batch_size)
 
+    def _video_geometry(self, frame_dir: str):
+        """(rw, rh) short-side-resized dims for a probed video, clamped to
+        >= crop on both axes exactly like the native TenCrop kernel
+        (decoder.cpp bdvc_decode_tencrop_batch rw/rh clamp)."""
+        w, h = self._dims[frame_dir]
+        rw, rh = resized_dims(w, h, self.short_side)
+        return max(rw, self.crop_size), max(rh, self.crop_size)
+
+    def _crop_offsets(self, rw: int, rh: int) -> np.ndarray:
+        """(K, 2) int32 (y, x) luma offsets: the 5 FiveCrop positions
+        (five_crops.py:42-114 / decoder.cpp tencrop offsets) or the single
+        center crop."""
+        crop = self.crop_size
+        if self.tencrop:
+            ws, hs = (rw - crop) // 4, (rh - crop) // 4
+            return np.array(
+                [(0, 0), (0, 4 * ws), (4 * hs, 0), (4 * hs, 4 * ws), (2 * hs, 2 * ws)],
+                np.int32,
+            )
+        return np.array([((rh - crop) // 2, (rw - crop) // 2)], np.int32)
+
+    def _prepare_yuv_full(self) -> None:
+        """Fix the padded plane dims from the WHOLE corpus (one header probe
+        per frame_dir; frames share dims) before workers spawn, so batch
+        shapes are deterministic and the jitted eval step never recompiles
+        mid-run (same policy as the train 'planes' wire)."""
+        if self.wire_format != "yuv420_full" or self._pad_w:
+            return
+        probe = [
+            (
+                info["frame_dir"],
+                osp.join(info["frame_dir"], self.filename_tmpl.format(self.start_index)),
+            )
+            for info in self.video_infos
+        ]
+        todo = [(k, p) for k, p in probe if k not in self._dims]
+        if todo:
+            dims = native.probe_dims_batch(
+                [p for _, p in todo], num_threads=self.num_threads
+            )
+            for (key, _), (w, h) in zip(todo, dims):
+                self._dims[key] = (int(w), int(h))
+        geo = np.array(
+            [self._video_geometry(info["frame_dir"]) for info in self.video_infos],
+            np.int64,
+        ).reshape(-1, 2)
+        self._pad_w = -(-int(geo[:, 0].max()) // 16) * 16
+        self._pad_h = -(-int(geo[:, 1].max()) // 16) * 16
+
     def _make_batch(self, indices) -> Dict[str, np.ndarray]:
         t, crop = self.num_segments, self.crop_size
         frame_paths: List[str] = []
         labels = np.empty((len(indices), 1), np.int64)
+        rows = []
         for row, idx in enumerate(indices):
             info = self.video_infos[int(idx)]
+            rows.append(info)
             labels[row, 0] = info["label"]
             frame_inds = self.sampler.sample(info["total_frames"]) + self.start_index
             for fi in frame_inds:
                 frame_paths.append(
                     osp.join(info["frame_dir"], self.filename_tmpl.format(int(fi)))
                 )
+        b = len(indices)
+        if self.wire_format == "yuv420_full":
+            self._prepare_yuv_full()  # no-op after __iter__'s main-thread call
+            geos = [self._video_geometry(info["frame_dir"]) for info in rows]
+            dims = np.repeat(np.array(geos, np.int32), t, axis=0)
+            y, c = native.decode_yuv420_full_batch(
+                frame_paths, dims, self._pad_w, self._pad_h,
+                num_threads=self.num_threads,
+            )
+            return {
+                "imgs_y": y.reshape(b, t, self._pad_h, self._pad_w),
+                "imgs_c": c.reshape(b, t, self._pad_h // 2, self._pad_w // 2, 2),
+                # crop size in the key suffix: pytree keys are jit-static, so
+                # the wire self-describes its geometry to the eval step
+                f"crop_yx_{crop}": np.stack(
+                    [self._crop_offsets(rw, rh) for rw, rh in geos]
+                ),
+                "label": labels,
+            }
         if self.tencrop:
             imgs = native.decode_tencrop_batch(
                 frame_paths, short_side=self.short_side, crop=crop,
@@ -680,6 +777,7 @@ class FastEvalLoader:
         return len(self.video_infos)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        self._prepare_yuv_full()  # pad dims fixed before workers spawn
         n = len(self.video_infos)
         if self.process_count > 1:
             # pad the global order to full batches (trimmed by run_inference

@@ -114,6 +114,19 @@ def _load():
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.c_int,
             ]
+        if hasattr(lib, "bdvc_decode_yuv420_full_batch"):
+            lib.bdvc_decode_yuv420_full_batch.restype = ctypes.c_int
+            lib.bdvc_decode_yuv420_full_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int,
+            ]
         if hasattr(lib, "bdvc_fetch_planes_batch"):
             lib.bdvc_fetch_planes_batch.restype = ctypes.c_int
             lib.bdvc_fetch_planes_batch.argtypes = [
@@ -288,6 +301,60 @@ def decode_resize2_crop_batch(
 def has_yuv420() -> bool:
     lib = _load()
     return lib is not None and hasattr(lib, "bdvc_decode_yuv420_batch")
+
+
+def has_yuv420_full() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "bdvc_decode_yuv420_full_batch")
+
+
+def decode_yuv420_full_batch(
+    paths: Sequence[str],
+    resize_dims: np.ndarray,
+    pad_w: int,
+    pad_h: int,
+    num_threads: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Full-frame YUV420 EVAL wire (native bdvc_decode_yuv420_full_batch):
+    each frame short-side-resized to its (rw, rh) target and pasted at the
+    origin of fixed padded slots — y (N, pad_h, pad_w) uint8 luma, c
+    (N, pad_h//2, pad_w//2, 2) uint8 interleaved CbCr, zero padding. Device
+    code slices eval crops out of these (ops/augment.eval_yuv_full_crops);
+    any such crop is bit-identical to :func:`decode_yuv420_batch` at the
+    same offsets, because the windowed resize computes output pixels
+    position-independently. Replaces the reference TenCrop host chain
+    (libs/pipelines/five_crops.py + test pipelines) with a ship-once wire:
+    ~131 KB/frame instead of 5 overlapping RGB crops (~752 KB)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "bdvc_decode_yuv420_full_batch"):
+        raise RuntimeError("native decoder unavailable or too old")
+    if pad_w % 2 or pad_h % 2:
+        raise ValueError(f"pad dims must be even, got {(pad_w, pad_h)}")
+    n = len(paths)
+    dims = np.ascontiguousarray(resize_dims, dtype=np.int32).reshape(n, 2)
+    if (dims[:, 0] > pad_w).any() or (dims[:, 1] > pad_h).any():
+        raise ValueError("resize dims exceed pad dims")
+    out_y = np.empty((n, pad_h, pad_w), dtype=np.uint8)
+    out_c = np.empty((n, pad_h // 2, pad_w // 2, 2), dtype=np.uint8)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    rw = np.ascontiguousarray(dims[:, 0])
+    rh = np.ascontiguousarray(dims[:, 1])
+    if num_threads <= 0:
+        num_threads = default_threads()
+    rc = lib.bdvc_decode_yuv420_full_batch(
+        c_paths,
+        n,
+        rw.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        rh.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        pad_w,
+        pad_h,
+        out_y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        num_threads,
+    )
+    if rc != 0:
+        raise IOError(f"decode failed for {paths[rc - 1]}")
+    return out_y, out_c
 
 
 def decode_yuv420_batch(

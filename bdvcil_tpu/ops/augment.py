@@ -269,6 +269,50 @@ def tencrop_expand(imgs: jax.Array) -> jax.Array:
     return both.reshape(b, 10 * t, *imgs.shape[3:])
 
 
+def eval_yuv_full_crops(batch, crop: int = None) -> jax.Array:
+    """Full-frame YUV420 eval wire -> uint8 RGB crops, on device.
+
+    batch: {'imgs_y': (B, T, ph, pw) uint8 luma (short-side-resized frames
+    pasted at the pad origin, native.decode_yuv420_full_batch),
+    'imgs_c': (B, T, ph//2, pw//2, 2) uint8 CbCr, 'crop_yx_<px>': (B, K, 2)
+    int32 (y, x) luma crop offsets}. K = 1 (CenterCrop) or 5 (TenCrop
+    positions, five_crops.py order; flips added by tencrop_expand
+    afterwards). The crop size rides in the offsets key's suffix — pytree
+    keys are static under jit, so the wire is self-describing and no config
+    threading is needed (``crop`` overrides it for direct calls).
+
+    Each sliced crop is bit-identical to what the cropped YUV wire
+    (native.decode_yuv420_batch) ships for the same offsets — the windowed
+    resize computes output pixels position-independently — so this wire
+    changes no pixel vs the shipping yuv420 eval semantics while shipping
+    each frame ONCE instead of K overlapping crops (the reference's TenCrop
+    host chain, libs/pipelines/five_crops.py + test pipeline cil.py:164).
+
+    Returns (B, T, K, crop, crop, 3) uint8 RGB.
+    """
+    y, c = batch["imgs_y"], batch["imgs_c"]
+    offs_key = next(k for k in batch if k.startswith("crop_yx"))
+    offs = batch[offs_key]
+    if crop is None:
+        crop = int(offs_key.rsplit("_", 1)[1])
+    half = crop // 2
+    t = y.shape[1]
+
+    def per_sample(y_s, c_s, off_s):
+        def per_crop(off):
+            oy, ox = off[0], off[1]
+            yc = jax.lax.dynamic_slice(y_s, (0, oy, ox), (t, crop, crop))
+            cc = jax.lax.dynamic_slice(
+                c_s, (0, oy // 2, ox // 2, 0), (t, half, half, 2)
+            )
+            return yuv420_to_rgb(yc, cc)
+
+        return jax.vmap(per_crop)(off_s)  # (K, T, crop, crop, 3)
+
+    out = jax.vmap(per_sample)(y, c, offs)  # (B, K, T, crop, crop, 3)
+    return jnp.moveaxis(out, 1, 2)
+
+
 def temporal_median(frames: jax.Array) -> jax.Array:
     """Median over the frame axis: (T, H, W, C) -> (H, W, C) uint8.
 

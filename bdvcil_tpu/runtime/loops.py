@@ -252,18 +252,31 @@ def run_inference(
 
     def _prep(batch):
         """Pad + start the host->device transfer (runs in the prefetch
-        thread, overlapping the device's forward on the previous batch)."""
-        imgs = np.asarray(batch["imgs"])
+        thread, overlapping the device's forward on the previous batch).
+        ``imgs`` may be one array or the full-frame YUV eval wire dict
+        (imgs_y/imgs_c/crop_yx) — every leaf is padded on the leading dim
+        and shipped with the same batch sharding."""
+        if "imgs" in batch:
+            imgs = {"imgs": np.asarray(batch["imgs"])}
+        else:
+            imgs = {
+                k: np.asarray(v) for k, v in batch.items() if k != "label"
+            }
         labels = np.asarray(batch["label"]).reshape(-1)
-        n_valid = imgs.shape[0]
+        n_valid = next(iter(imgs.values())).shape[0]
         target = pad_batch_to or n_valid
         if mesh is not None:
             m = mesh.devices.size
             target = ((max(target, n_valid) + m - 1) // m) * m
         if target != n_valid:
-            reps = [(0, target - n_valid)] + [(0, 0)] * (imgs.ndim - 1)
-            imgs = np.pad(imgs, reps, mode="edge")
-        imgs = jax.device_put(imgs, batch_sharding(mesh) if mesh is not None else None)
+            imgs = {
+                k: np.pad(v, [(0, target - n_valid)] + [(0, 0)] * (v.ndim - 1), mode="edge")
+                for k, v in imgs.items()
+            }
+        sharding = batch_sharding(mesh) if mesh is not None else None
+        imgs = {k: jax.device_put(v, sharding) for k, v in imgs.items()}
+        if tuple(imgs) == ("imgs",):
+            imgs = imgs["imgs"]
         return imgs, labels, n_valid
 
     def _drain(entry):
@@ -309,13 +322,9 @@ def _run_inference_multiprocess(
         """Assemble the global sharded batch (runs in the prefetch thread —
         the same overlap train_epochs uses; loaders pad globally and feed
         each process its local rows, so no extra padding here)."""
-        return shard_batch(
-            {
-                "imgs": np.asarray(batch["imgs"]),
-                "label": np.asarray(batch["label"]).reshape(-1),
-            },
-            mesh,
-        )
+        put = {k: np.asarray(v) for k, v in batch.items() if k != "label"}
+        put["label"] = np.asarray(batch["label"]).reshape(-1)
+        return shard_batch(put, mesh)
 
     def _drain(entry):
         out, label = entry
@@ -330,7 +339,12 @@ def _run_inference_multiprocess(
     # collectives stay in the same order on all processes.
     pending = None
     for put in prefetch_to_device(loader, size=2, put_fn=_prep):
-        out = eval_step(variables, put["imgs"])
+        imgs = (
+            put["imgs"]
+            if "imgs" in put
+            else {k: v for k, v in put.items() if k != "label"}
+        )
+        out = eval_step(variables, imgs)
         if pending is not None:
             _drain(pending)
         pending = (out, put["label"])

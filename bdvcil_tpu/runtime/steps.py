@@ -220,12 +220,31 @@ def make_eval_step(spec: ModelSpec, num_classes: int) -> Callable:
 
     Matches predict_step (cil.py:558-578): cls_score (B, G, nc) raw scores;
     repr (B, G, C) L2-normalized along the feature dim.
+
+    ``imgs`` may be a float batch, a uint8 crop batch (5-D center / 6-D
+    tencrop), or the full-frame YUV420 eval wire dict
+    {imgs_y, imgs_c, crop_yx_<px>} (data/device_pipeline.FastEvalLoader
+    wire_format='yuv420_full'; the crop size rides in the jit-static key).
     """
     module = spec.module(num_classes)
 
     @jax.jit
     def eval_step(variables, imgs):
-        if imgs.dtype == jnp.uint8:
+        if isinstance(imgs, dict):
+            # full-frame YUV wire: slice eval crops + YCbCr->RGB on device
+            from ..ops.augment import (
+                eval_yuv_full_crops,
+                normalize_batch,
+                tencrop_expand,
+            )
+
+            rgb = eval_yuv_full_crops(imgs)
+            if rgb.shape[2] == 1:  # CenterCrop: (B, T, h, w, C)
+                rgb = rgb[:, :, 0]
+            else:  # TenCrop: flips on device, (B, 10*T, h, w, C)
+                rgb = tencrop_expand(rgb)
+            imgs = normalize_batch(rgb, dtype=spec.dtype)
+        elif imgs.dtype == jnp.uint8:
             # fast eval path ships raw uint8 crops (4x less PCIe traffic);
             # normalization (and TenCrop flip expansion for 6-D inputs)
             # fuses on-device

@@ -31,8 +31,17 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
 # 0.27 s in a fresh process on a hit; with the defaults the dir stayed
 # empty all of round 3). This removes the ~10-25 min cold remote-compile
 # tax from every bench/profile relaunch in the same round.
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# NOTE: the two min_* thresholds are float/int_state options WITHOUT env
+# plumbing in jax 0.9 (config.py float_state) — they MUST be set through
+# jax.config.update or they silently stay at defaults, and the axon relay
+# reports sub-second compile times for programs whose end-to-end first
+# dispatch takes minutes, so the 1.0 s default threshold skips exactly the
+# entries worth caching (this is why round 3 saw an empty cache dir).
+import jax as _jax
+
+if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 # Honor an explicit CPU request (smoke-testing the bench off-chip): some
 # images register a TPU plugin whose get_backend hook wins over the
@@ -117,6 +126,25 @@ def _pause_registered_background_work():
                 pass
 
     return resume
+
+
+# Lazy pause: benches spend 10-25 min in remote compile before measuring;
+# freezing the background studies for that whole window wastes their wall
+# time for nothing (compile is a remote wait, not host CPU). Measurement
+# sites call _pause_for_measurement() right before their first timed
+# window; __main__'s atexit/signal/finally paths call _resume_background().
+_PAUSE_STATE = {"resume": None}
+
+
+def _pause_for_measurement():
+    if _PAUSE_STATE["resume"] is None:
+        _PAUSE_STATE["resume"] = _pause_registered_background_work()
+
+
+def _resume_background():
+    resume, _PAUSE_STATE["resume"] = _PAUSE_STATE["resume"], None
+    if resume is not None:
+        resume()
 
 
 def bench_input():
@@ -251,6 +279,7 @@ def _measure_e2e_windows(run_epochs, steps_per_epoch):
     measure_epochs = max(2, -(-int(os.environ.get("BENCH_E2E_STEPS", "40")) // max(1, steps_per_epoch)))
     n_windows = max(1, int(os.environ.get("BENCH_E2E_WINDOWS", "5")))
     run_epochs(0, 1)
+    _pause_for_measurement()
     window_rates = []
     for w in range(n_windows):
         t0 = time.perf_counter()
@@ -482,16 +511,17 @@ def bench_eval_e2e(print_json=True):
     eval_step = make_eval_step(spec, 51)
     workers = int(os.environ.get("BENCH_WORKERS", "1"))
 
-    def measure(tencrop):
+    def measure(tencrop, wire):
         loader = FastEvalLoader(
             video_infos, batch_size=batch, num_segments=num_segments,
             tencrop=tencrop, num_workers=workers, prefetch=2,
-            process_index=0, process_count=1,
+            process_index=0, process_count=1, wire_format=wire,
         )
         # enough passes over the corpus for >=40 measured batches (short
         # windows swing with cgroup scheduling noise, PERF_NOTES "Round 3")
         passes = max(1, -(-int(os.environ.get("BENCH_E2E_STEPS", "40")) // max(1, len(loader))))
         run_inference(eval_step, variables, loader)  # compile + cache warm
+        _pause_for_measurement()
         t0 = time.perf_counter()
         for _ in range(passes):
             out = run_inference(eval_step, variables, loader)
@@ -499,8 +529,24 @@ def bench_eval_e2e(print_json=True):
         assert out["cls_score"].shape[0] == num_videos
         return passes * num_videos / dt / max(1, jax.device_count())
 
-    rate_center = measure(tencrop=False)
-    rate_tencrop = measure(tencrop=True)
+    # the shipping default ('auto' in cil/data_module._eval_loader) is the
+    # full-frame YUV wire; the rgb wire is measured alongside as the
+    # bit-identical-to-host reference point
+    from bdvcil_tpu.data import native as _native
+
+    wire = "yuv420_full" if _native.has_yuv420_full() else "rgb"
+    rate_center = measure(tencrop=False, wire=wire)
+    rate_tencrop = measure(tencrop=True, wire=wire)
+    extras_rgb = {}
+    if wire != "rgb" and not os.environ.get("BENCH_EVAL_SKIP_RGB"):
+        extras_rgb = {
+            "rgb_wire_videos_per_sec_per_chip": round(
+                measure(tencrop=False, wire="rgb"), 2
+            ),
+            "rgb_wire_tencrop_videos_per_sec_per_chip": round(
+                measure(tencrop=True, wire="rgb"), 2
+            ),
+        }
 
     out = {
         "metric": "e2e_eval_videos_per_sec_per_chip_tsm_r50_8x224",
@@ -508,7 +554,9 @@ def bench_eval_e2e(print_json=True):
         "unit": "videos/s/chip",
         # reference inference throughput: 74 videos/s / 8 GPUs (BASELINE.md:15)
         "vs_baseline": round(rate_center / (74.0 / 8.0), 2),
+        "eval_wire": wire,
         "tencrop_videos_per_sec_per_chip": round(rate_tencrop, 2),
+        **extras_rgb,
     }
     if print_json:
         print(json.dumps(out))
@@ -623,6 +671,7 @@ def main(extras=None):
         keys = _jax.random.split(_jax.random.PRNGKey(0), scan_steps)
         state, _ = multi(state, keys)  # compile + warm
         _jax.block_until_ready(state.params)
+        _pause_for_measurement()
         t0 = time.perf_counter()
         state, losses = multi(state, keys)
         _jax.block_until_ready(losses)
@@ -634,6 +683,7 @@ def main(extras=None):
             state, metrics = step(state, None, imgs, labels, {}, keys[i])
         jax.block_until_ready(state.params)
 
+        _pause_for_measurement()
         t0 = time.perf_counter()
         for i in range(steps):
             state, metrics = step(state, None, imgs, labels, {}, keys[warmup + i])
@@ -682,18 +732,17 @@ if __name__ == "__main__":
     import atexit
     import signal as _signal
 
-    # handlers must be live BEFORE the SIGSTOPs go out: a watchdog signal
-    # landing between the pause and signal.signal() would otherwise skip
-    # atexit/finally and leave the study trees frozen — the exact failure
-    # the handler exists for. _resume starts as a no-op and is rebound to
-    # the real callback right after the pause.
-    _resume = lambda: None
-
+    # handlers must be live BEFORE any SIGSTOP can go out: a watchdog signal
+    # landing mid-pause would otherwise skip atexit/finally and leave the
+    # study trees frozen — the exact failure the handler exists for. The
+    # pause itself is LAZY (_pause_for_measurement at each bench's first
+    # timed window) so background studies keep running through the long
+    # remote-compile phases.
     def _resume_and_die(signum, frame):
         # A watchdog SIGTERM (e.g. `timeout 600 python bench.py`) skips both
         # atexit and `finally:` — without this handler the SIGSTOPped study
         # trees would stay frozen forever.
-        _resume()
+        _resume_background()
         _signal.signal(signum, _signal.SIG_DFL)
         os.kill(os.getpid(), signum)
 
@@ -703,8 +752,7 @@ if __name__ == "__main__":
         except (ValueError, OSError):
             pass
 
-    _resume = _pause_registered_background_work()
-    atexit.register(_resume)
+    atexit.register(_resume_background)
     try:
         mode = os.environ.get("BENCH_MODE", "train")
         if mode == "input":
@@ -727,4 +775,4 @@ if __name__ == "__main__":
                     extras = {"e2e_error": str(e)[:200]}
             main(extras)
     finally:
-        _resume()
+        _resume_background()

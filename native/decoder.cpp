@@ -831,6 +831,54 @@ bool rgb_window_to_yuv420(const char* path, int rw, int rh, int cx, int cy,
   return true;
 }
 
+// Rectangular full-frame fallback for non-420 / undecodable-as-planes
+// JPEGs on the EVAL wire (bdvc_decode_yuv420_full_batch): decode RGB,
+// bilinear-resize to the full (rw, rh) target, then forward-convert to
+// Y + 2x2-block-averaged CbCr (same fixed-point coefficients as
+// rgb_window_to_yuv420 above), writing into strided padded destinations.
+// Odd rw/rh replicate the edge sample in the chroma block average, matching
+// the (rw+1)/2 chroma geometry of the plane path.
+bool rgb_full_to_yuv420(const char* path, int rw, int rh, uint8_t* ydst,
+                        int ystride, uint8_t* cdst, int cstride_px,
+                        std::vector<uint8_t>& decoded, std::vector<uint8_t>& rgb) {
+  int w = 0, h = 0;
+  if (!decode_jpeg_file(path, decoded, w, h, rw, rh)) return false;
+  rgb.resize(static_cast<size_t>(rw) * rh * 3);
+  bilinear_resize(decoded.data(), w, h, rgb.data(), rw, rh);
+  for (int y = 0; y < rh; ++y) {
+    const uint8_t* row = rgb.data() + static_cast<size_t>(y) * rw * 3;
+    uint8_t* yrow = ydst + static_cast<size_t>(y) * ystride;
+    for (int x = 0; x < rw; ++x) {
+      const int r = row[x * 3], g = row[x * 3 + 1], b = row[x * 3 + 2];
+      yrow[x] = static_cast<uint8_t>((19595 * r + 38470 * g + 7471 * b + 32768) >> 16);
+    }
+  }
+  const int rw2 = (rw + 1) / 2, rh2 = (rh + 1) / 2;
+  for (int y = 0; y < rh2; ++y) {
+    uint8_t* crow = cdst + static_cast<size_t>(y) * cstride_px * 2;
+    for (int x = 0; x < rw2; ++x) {
+      int rs = 0, gs = 0, bs = 0;
+      for (int dy = 0; dy < 2; ++dy)
+        for (int dx = 0; dx < 2; ++dx) {
+          const int sy = 2 * y + dy < rh ? 2 * y + dy : rh - 1;
+          const int sx = 2 * x + dx < rw ? 2 * x + dx : rw - 1;
+          const uint8_t* p = rgb.data() + (static_cast<size_t>(sy) * rw + sx) * 3;
+          rs += p[0];
+          gs += p[1];
+          bs += p[2];
+        }
+      rs = (rs + 2) >> 2;
+      gs = (gs + 2) >> 2;
+      bs = (bs + 2) >> 2;
+      crow[x * 2 + 0] =
+          static_cast<uint8_t>((-11059 * rs - 21709 * gs + 32768 * bs + 8388608 + 32768) >> 16);
+      crow[x * 2 + 1] =
+          static_cast<uint8_t>((32768 * rs - 27439 * gs - 5329 * bs + 8388608 + 32768) >> 16);
+    }
+  }
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -1119,6 +1167,115 @@ int bdvc_decode_yuv420_batch(const char** paths, int n, const int* resize_w,
                                        out_y + static_cast<size_t>(i) * y_bytes,
                                        out_c + static_cast<size_t>(i) * c_bytes,
                                        s1, s2, s3)) {
+        int expected = 0;
+        failed.compare_exchange_strong(expected, i + 1);
+        break;
+      }
+    }
+  };
+
+  std::vector<std::thread> threads;
+  threads.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return failed.load();
+}
+
+// Full-frame YUV420 wire for the EVAL path: resize each frame's planes to
+// its (resize_w, resize_h) short-side target — the SAME windowed fixed-point
+// resize as bdvc_decode_yuv420_batch, window = the whole frame, so any crop
+// sliced from this output on device is bit-identical to the host crop the
+// cropped wire would have produced at the same offsets — and paste at the
+// origin of fixed (pad_h, pad_w) slots (chroma at half dims). TenCrop then
+// ships each frame ONCE (~131 KB) instead of 5 overlapping RGB crops
+// (~752 KB) and the 5-crop + flip expansion runs on device
+// (ops/augment.eval_yuv_full_crops). Padding bytes are zeroed. Non-420 /
+// plane-path failures take the RGB full-frame fallback (rgb_full_to_yuv420).
+// Returns 0, or (index + 1) of the first failed file.
+int bdvc_decode_yuv420_full_batch(const char** paths, int n, const int* resize_w,
+                                  const int* resize_h, int pad_w, int pad_h,
+                                  uint8_t* out_y, uint8_t* out_c, int num_threads) {
+  if (n <= 0) return 0;
+  if (pad_w % 2 != 0 || pad_h % 2 != 0) return -1;
+  if (num_threads < 1) num_threads = 1;
+  if (num_threads > n) num_threads = n;
+
+  std::atomic<int> next(0);
+  std::atomic<int> failed(0);
+  const int pw2 = pad_w / 2, ph2 = pad_h / 2;
+  const size_t y_bytes = static_cast<size_t>(pad_w) * pad_h;
+  const size_t c_bytes = static_cast<size_t>(pw2) * ph2 * 2;
+
+  PlaneCache& cache = PlaneCache::instance();
+
+  auto worker = [&]() {
+    set_decode_thread_priority();
+    std::vector<uint8_t> tight, tmp, dec1, dec2;
+    while (true) {
+      const int i = next.fetch_add(1);
+      if (i >= n || failed.load() != 0) break;
+
+      const int rw = resize_w[i] > 0 ? resize_w[i] : 1;
+      const int rh = resize_h[i] > 0 ? resize_h[i] : 1;
+      uint8_t* ydst = out_y + static_cast<size_t>(i) * y_bytes;
+      uint8_t* cdst = out_c + static_cast<size_t>(i) * c_bytes;
+      if (rw > pad_w || rh > pad_h) {
+        int expected = 0;
+        failed.compare_exchange_strong(expected, i + 1);
+        break;
+      }
+      std::memset(ydst, 0, y_bytes);
+      std::memset(cdst, 0, c_bytes);
+      const int rw2 = (rw + 1) / 2, rh2 = (rh + 1) / 2;
+
+      std::shared_ptr<const PlaneEntry> ent;
+      if (cache.enabled()) ent = cache.get(paths[i]);
+      if (!ent) {
+        auto fresh = std::make_shared<PlaneEntry>();
+        if (decode_jpeg_raw420(paths[i], fresh->y, fresh->cb, fresh->cr,
+                               fresh->w, fresh->h, fresh->ystride, fresh->cstride)) {
+          if (cache.enabled()) cache.put(paths[i], fresh);
+          ent = std::move(fresh);
+        }
+      }
+      if (ent) {
+        const int w = ent->w, h = ent->h;
+        // luma: full-window resize into a tight buffer, then row-paste
+        const uint8_t* ysrc = ent->y.data();
+        if (ent->ystride != w) {
+          tight.resize(static_cast<size_t>(w) * h);
+          for (int y = 0; y < h; ++y)
+            std::memcpy(tight.data() + static_cast<size_t>(y) * w,
+                        ent->y.data() + static_cast<size_t>(y) * ent->ystride, w);
+          ysrc = tight.data();
+        }
+        tmp.resize(static_cast<size_t>(rw) * rh);
+        bilinear_resize_window_t<1>(ysrc, w, h, rw, rh, 0, 0, rw, rh, tmp.data(), 1);
+        for (int y = 0; y < rh; ++y)
+          std::memcpy(ydst + static_cast<size_t>(y) * pad_w,
+                      tmp.data() + static_cast<size_t>(y) * rw, rw);
+        // chroma: resize Cb/Cr at half geometry, interleave, row-paste
+        const int cw = (w + 1) / 2, chh = (h + 1) / 2;
+        tmp.resize(static_cast<size_t>(rw2) * rh2 * 2);
+        for (int ch = 0; ch < 2; ++ch) {
+          const std::vector<uint8_t>& plane = ch == 0 ? ent->cb : ent->cr;
+          const uint8_t* csrc = plane.data();
+          if (ent->cstride != cw) {
+            tight.resize(static_cast<size_t>(cw) * chh);
+            for (int y = 0; y < chh; ++y)
+              std::memcpy(tight.data() + static_cast<size_t>(y) * cw,
+                          plane.data() + static_cast<size_t>(y) * ent->cstride, cw);
+            csrc = tight.data();
+          }
+          bilinear_resize_window_t<1>(csrc, cw, chh, rw2, rh2, 0, 0, rw2, rh2,
+                                      tmp.data() + ch, 2);
+        }
+        for (int y = 0; y < rh2; ++y)
+          std::memcpy(cdst + static_cast<size_t>(y) * pw2 * 2,
+                      tmp.data() + static_cast<size_t>(y) * rw2 * 2,
+                      static_cast<size_t>(rw2) * 2);
+      } else if (!rgb_full_to_yuv420(paths[i], rw, rh, ydst, pad_w, cdst, pw2,
+                                     dec1, dec2)) {
         int expected = 0;
         failed.compare_exchange_strong(expected, i + 1);
         break;

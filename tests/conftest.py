@@ -24,5 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# the min_* env vars above are read by nothing in jax 0.9 (float/int_state
+# without env plumbing); set the real config so small test executables are
+# persisted too
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for mesh tests"

@@ -1,0 +1,199 @@
+"""Full-frame YUV420 eval wire (FastEvalLoader wire_format='yuv420_full').
+
+The wire ships each eval frame ONCE (short-side-resized YCbCr planes in
+fixed padded slots, native.decode_yuv420_full_batch) and runs crop slicing,
+TenCrop flips, YCbCr->RGB and normalize on device
+(ops/augment.eval_yuv_full_crops + make_eval_step). Replaces the
+reference's host TenCrop chain (libs/pipelines/five_crops.py + the test
+pipeline at configs .../cil :164) with ~5.6x fewer wire bytes.
+
+Fidelity contract: every device-sliced crop is BIT-IDENTICAL to what the
+cropped YUV wire (native.decode_yuv420_batch) produces at the same offsets
+— the windowed fixed-point resize computes output pixels position-
+independently — so enabling the wire cannot change a pixel relative to the
+shipping yuv420 semantics.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from bdvcil_tpu.data import native
+
+pytestmark = pytest.mark.skipif(
+    not (native.available() and native.has_yuv420_full()),
+    reason="native decoder (with yuv420_full) not built",
+)
+
+T = 4
+CROP = 224
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """8 synthetic videos of T*2 frames at mixed geometries (landscape,
+    portrait, square) so resized dims and pad handling all differ."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("eval_yuv")
+    rng = np.random.default_rng(7)
+    sizes = [(240, 320), (320, 240), (250, 250), (240, 426)]
+    infos = []
+    for v in range(8):
+        h, w = sizes[v % len(sizes)]
+        vdir = root / f"v{v}"
+        vdir.mkdir()
+        base = rng.integers(0, 200, 3)
+        for t in range(1, 2 * T + 1):
+            img = np.clip(base + rng.integers(0, 55, (h, w, 3)), 0, 255).astype(np.uint8)
+            cv2.imwrite(str(vdir / f"img_{t:05d}.jpg"), img, [cv2.IMWRITE_JPEG_QUALITY, 90])
+        infos.append(dict(frame_dir=str(vdir), total_frames=2 * T, label=v % 3))
+    return infos
+
+
+def _loader(infos, tencrop, wire, batch_size=4):
+    from bdvcil_tpu.data.device_pipeline import FastEvalLoader
+
+    return FastEvalLoader(
+        infos, batch_size=batch_size, num_segments=T, crop_size=CROP,
+        short_side=256, filename_tmpl="img_{:05d}.jpg", tencrop=tencrop,
+        process_index=0, process_count=1, wire_format=wire,
+    )
+
+
+@pytest.mark.parametrize("tencrop", [False, True], ids=["center", "tencrop"])
+def test_device_crops_bit_identical_to_cropped_wire(corpus, tencrop):
+    """eval_yuv_full_crops slices == decode_yuv420_batch host crops, after
+    the same on-device YCbCr->RGB, for every sample and crop position."""
+    from bdvcil_tpu.data.device_pipeline import FastEvalLoader, resized_dims
+    from bdvcil_tpu.ops.augment import eval_yuv_full_crops, yuv420_to_rgb
+
+    loader = _loader(corpus, tencrop, "yuv420_full")
+    batch = next(iter(loader))
+    offs_key = next(k for k in batch if k.startswith("crop_yx"))
+    assert offs_key == f"crop_yx_{CROP}"
+    rgb_dev = np.asarray(
+        eval_yuv_full_crops({k: jnp.asarray(v) for k, v in batch.items() if k != "label"})
+    )  # (B, T, K, c, c, 3)
+
+    offs = batch[offs_key]
+    b, k = offs.shape[:2]
+    assert k == (5 if tencrop else 1)
+    for row in range(b):
+        info = corpus[row]
+        w, h = native.probe_dims_batch(
+            [info["frame_dir"] + "/img_00001.jpg"]
+        )[0]
+        rw, rh = resized_dims(int(w), int(h), 256)
+        rw, rh = max(rw, CROP), max(rh, CROP)
+        frame_inds = loader.sampler.sample(info["total_frames"]) + 1
+        paths = [info["frame_dir"] + f"/img_{int(fi):05d}.jpg" for fi in frame_inds]
+        for kk in range(k):
+            oy, ox = int(offs[row, kk, 0]), int(offs[row, kk, 1])
+            yc, cc = native.decode_yuv420_batch(
+                paths, np.array([(rw, rh)] * T, np.int32), CROP, [(ox, oy)] * T
+            )
+            ref = np.asarray(yuv420_to_rgb(jnp.asarray(yc), jnp.asarray(cc)))
+            np.testing.assert_array_equal(rgb_dev[row, :, kk], ref)
+
+
+def test_eval_step_scores_match_rgb_wire(corpus):
+    """make_eval_step on the yuv wire vs the rgb wire: same model, same
+    videos. The wires differ only in resize domain (YUV-plane resize vs
+    RGB resize — the same accepted delta as the train yuv420 wire), so
+    scores must track closely and top-1 must agree."""
+    import jax
+
+    from bdvcil_tpu.models import build_model, init_model_params
+    from bdvcil_tpu.runtime import make_eval_step
+    from bdvcil_tpu.runtime.loops import run_inference
+
+    spec = build_model(
+        dict(
+            type="CILRecognizer2D",
+            backbone=dict(type="ResNetTSM", depth=18, num_segments=T, shift_div=8),
+            cls_head=dict(
+                type="IncrementalTSMHead", num_classes=3, in_channels=512,
+                inc_head_config=dict(type="SimpleLinear", out_features=3),
+                num_segments=T, loss_cls=dict(type="CrossEntropyLoss"),
+                dropout_ratio=0.0,
+            ),
+            test_cfg=dict(average_clips="score"),
+        ),
+        dtype=jnp.float32,
+    )
+    variables = init_model_params(spec, jax.random.PRNGKey(0), (1, T, CROP, CROP, 3))
+    eval_step = make_eval_step(spec, 3)
+
+    outs = {}
+    for wire in ("rgb", "yuv420_full"):
+        out = run_inference(eval_step, variables, _loader(corpus, True, wire))
+        assert out["cls_score"].shape[0] == len(corpus)
+        outs[wire] = out
+    a, b = outs["rgb"]["cls_score"], outs["yuv420_full"]["cls_score"]
+    assert a.shape == b.shape  # (N, G, nc), same TenCrop group count
+    np.testing.assert_array_equal(outs["rgb"]["labels"], outs["yuv420_full"]["labels"])
+    # same resize math, different domain: scores track tightly
+    denom = max(1e-6, float(np.abs(a).mean()))
+    assert float(np.abs(a - b).mean()) / denom < 0.05, (a.mean(axis=1), b.mean(axis=1))
+    assert (a.mean(axis=1).argmax(-1) == b.mean(axis=1).argmax(-1)).mean() >= 0.9
+
+
+def test_run_inference_pads_and_trims_dict_batches(corpus):
+    """Odd dataset size vs batch: the dict wire pads every leaf on the
+    leading dim (mesh-divisible) and run_inference trims to num_valid."""
+    import jax
+
+    from bdvcil_tpu.models import build_model, init_model_params
+    from bdvcil_tpu.parallel import make_mesh
+    from bdvcil_tpu.runtime import make_eval_step
+    from bdvcil_tpu.runtime.loops import run_inference
+
+    spec = build_model(
+        dict(
+            type="CILRecognizer2D",
+            backbone=dict(type="ResNetTSM", depth=18, num_segments=T, shift_div=8),
+            cls_head=dict(
+                type="IncrementalTSMHead", num_classes=3, in_channels=512,
+                inc_head_config=dict(type="SimpleLinear", out_features=3),
+                num_segments=T, loss_cls=dict(type="CrossEntropyLoss"),
+                dropout_ratio=0.0,
+            ),
+            test_cfg=dict(average_clips="score"),
+        ),
+        dtype=jnp.float32,
+    )
+    variables = init_model_params(spec, jax.random.PRNGKey(0), (1, T, CROP, CROP, 3))
+    eval_step = make_eval_step(spec, 3)
+    mesh = make_mesh()
+    loader = _loader(corpus[:7], False, "yuv420_full", batch_size=4)  # 7 videos
+    out = run_inference(
+        eval_step, variables, loader, mesh=mesh, pad_batch_to=loader.batch_size
+    )
+    assert out["cls_score"].shape[0] == 7
+    assert list(out["labels"]) == [i % 3 for i in range(7)]
+
+
+def test_non420_fallback(tmp_path):
+    """A 4:4:4 JPEG takes the RGB full-frame fallback (rgb_full_to_yuv420)
+    and must still produce sane planes close to the plain-420 encode of the
+    same image."""
+    import cv2
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (240, 320, 3)).astype(np.uint8)
+    p420 = tmp_path / "a420.jpg"
+    p444 = tmp_path / "a444.jpg"
+    cv2.imwrite(str(p420), img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+    cv2.imwrite(
+        str(p444), img,
+        [cv2.IMWRITE_JPEG_QUALITY, 95,
+         cv2.IMWRITE_JPEG_SAMPLING_FACTOR, cv2.IMWRITE_JPEG_SAMPLING_FACTOR_444],
+    )
+    dims = np.array([(341, 256), (341, 256)], np.int32)
+    y, c = native.decode_yuv420_full_batch([str(p420), str(p444)], dims, 352, 256)
+    # both slots carry the same underlying image through different decode
+    # paths; JPEG requantization + subsampling keeps them close, not equal
+    assert float(np.abs(y[0, :, :341].astype(int) - y[1, :, :341].astype(int)).mean()) < 3.0
+    assert (y[:, :, 341:] == 0).all()

@@ -52,10 +52,15 @@ else:
     # set explicitly (see bench.py), and makes every later study process
     # start hot (the study shapes repeat across methods and seeds)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 import jax
+
+if _PLATFORM != "cpu":
+    # min_* thresholds have no env plumbing (jax 0.9 float_state) and the
+    # axon relay under-reports compile walls, so set them via config or the
+    # expensive entries never get written (see bench.py)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 if _PLATFORM == "cpu":  # force CPU even when a TPU plugin is registered
     try:

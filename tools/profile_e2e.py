@@ -31,13 +31,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
-# Under the axon tunnel the persistent cache only populates with these two
-# thresholds set explicitly (measured round 4: 11.7 s tiny-jit compile ->
-# 0.27 s in a fresh process on a hit; with the defaults the dir stayed
-# empty all of round 3). This removes the ~10-25 min cold remote-compile
-# tax from every bench/profile relaunch in the same round.
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# min_* cache thresholds have no env plumbing in jax 0.9 — set via config
+# (see bench.py for the axon compile-time-reporting rationale)
+import jax as _jax  # noqa: E402
+
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+_jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 def build(batch, num_videos):
