@@ -90,15 +90,24 @@ def _descendants(roots):
 
 
 def _pause_registered_background_work():
-    """SIGSTOP registered background study trees; return a resume callback."""
+    """Quiesce registered background study trees; return a resume callback.
+
+    Entries flagged 'coop' get the cooperative SIGUSR1/SIGUSR2 protocol
+    (tools/parity_study._install_coop_pause_handlers): the study parks its
+    main thread between steps and acks via /tmp/bdvc_pause_ack_<pid>, while
+    its jax IO threads keep serving the TPU tunnel. SIGSTOP is reserved for
+    legacy entries WITHOUT the flag — freezing a tunneled-TPU client mid-RPC
+    wedges the relay and deadlocks the bench itself (measured round 4:
+    16+ min stall until a manual SIGCONT)."""
     import signal
+    import time as _time
 
     try:
         with open(PAUSE_PIDS_FILE) as f:
             entries = [ln.split() for ln in f if ln.strip()]
     except OSError:
         return lambda: None
-    roots = []
+    coop_roots, stop_roots = [], []
     for parts in entries:
         try:
             pid, tag = int(parts[0]), (parts[1] if len(parts) > 1 else "")
@@ -106,22 +115,52 @@ def _pause_registered_background_work():
             continue
         # Only honor a root whose live cmdline still matches its tag.
         if tag and tag in _pid_cmdline(pid):
-            roots.append(pid)
-    if not roots:
+            (coop_roots if "coop" in parts[2:] else stop_roots).append(pid)
+    if not coop_roots and not stop_roots:
         return lambda: None
-    paused = []
-    for pid in _descendants(roots):
+
+    signalled = []
+    for pid in coop_roots:
         try:
-            os.kill(pid, signal.SIGSTOP)
-            paused.append(pid)
+            os.kill(pid, signal.SIGUSR1)
+            signalled.append(pid)
         except OSError:
             pass
-    print(f"[bench] paused {len(paused)} background study processes", file=sys.stderr)
+    stopped = []
+    for pid in _descendants(stop_roots):
+        try:
+            os.kill(pid, signal.SIGSTOP)
+            stopped.append(pid)
+        except OSError:
+            pass
+    # wait (bounded) for every coop study to park, then a short grace for
+    # its in-flight async dispatches to drain off the chip
+    deadline = _time.monotonic() + 10.0
+    acks = {pid: f"/tmp/bdvc_pause_ack_{pid}" for pid in signalled}
+    while acks and _time.monotonic() < deadline:
+        acks = {p: f for p, f in acks.items() if not os.path.exists(f)}
+        if acks:
+            _time.sleep(0.1)
+    if signalled:
+        _time.sleep(1.5)
+    print(
+        f"[bench] quiesced {len(signalled)} coop + {len(stopped)} sigstop "
+        f"background study processes"
+        + (f" ({len(acks)} never acked)" if acks else ""),
+        file=sys.stderr,
+    )
 
     def resume():
-        for pid in reversed(paused):
+        import signal as _sig
+
+        for pid in signalled:
             try:
-                os.kill(pid, signal.SIGCONT)
+                os.kill(pid, _sig.SIGUSR2)
+            except OSError:
+                pass
+        for pid in reversed(stopped):
+            try:
+                os.kill(pid, _sig.SIGCONT)
             except OSError:
                 pass
 

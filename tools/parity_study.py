@@ -149,15 +149,62 @@ def summarize(results):
     return out
 
 
+_PAUSE_FLAG = {"paused": False}
+
+
+def _install_coop_pause_handlers():
+    """Cooperative quiesce protocol (bench.py _pause_registered_background_work):
+
+    SIGSTOP is NOT safe for a study whose jax side runs on the tunneled
+    chip — freezing every thread mid-RPC wedges the relay, and with it the
+    bench that sent the SIGSTOP (measured round 4: a bench deadlocked for
+    16+ min until the study was SIGCONTed by hand). Instead the bench sends
+    SIGUSR1: the handler parks the MAIN thread in a sleep loop (no new
+    steps are dispatched; in-flight async work drains) while the jax/axon
+    IO threads keep serving the tunnel, and touches an ack file the bench
+    can wait on. SIGUSR2 releases the loop."""
+    import signal
+    import time as _time
+
+    ack = f"/tmp/bdvc_pause_ack_{os.getpid()}"
+
+    def _on_pause(signum, frame):
+        if _PAUSE_FLAG["paused"]:
+            return
+        _PAUSE_FLAG["paused"] = True
+        try:
+            with open(ack, "w"):
+                pass
+        except OSError:
+            pass
+        try:
+            while _PAUSE_FLAG["paused"]:
+                _time.sleep(0.2)  # SIGUSR2's handler flips the flag
+        finally:
+            try:
+                os.unlink(ack)
+            except OSError:
+                pass
+
+    def _on_resume(signum, frame):
+        _PAUSE_FLAG["paused"] = False
+
+    signal.signal(signal.SIGUSR1, _on_pause)
+    signal.signal(signal.SIGUSR2, _on_resume)
+
+
 def _register_for_bench_pause():
     """Append this PID to the bench pause file (bench.py PAUSE_PIDS_FILE) so
-    a concurrent driver bench can SIGSTOP us instead of measuring e2e
-    throughput against our CPU load; entry is tag-validated against the live
-    cmdline, so no cleanup is needed on exit."""
+    a concurrent driver bench can quiesce us instead of measuring e2e
+    throughput against our CPU load; the 'coop' flag selects the SIGUSR1
+    protocol above (SIGSTOP would wedge the TPU tunnel). The entry is
+    tag-validated against the live cmdline, so no cleanup is needed on
+    exit."""
+    _install_coop_pause_handlers()
     path = os.environ.get("BDVC_BENCH_PAUSE_PIDS", "/tmp/bdvc_bench_pause.pids")
     try:
         with open(path, "a") as f:
-            f.write(f"{os.getpid()} parity_study\n")
+            f.write(f"{os.getpid()} parity_study coop\n")
     except OSError:
         pass
 
