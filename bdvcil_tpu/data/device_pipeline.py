@@ -465,7 +465,11 @@ def _parallel_ordered_iter(batches, make, num_workers: int, prefetch: int):
         for i in range(len(batches)):
             with cond:
                 while i not in results and not error:
-                    cond.wait()
+                    # timed wait so the main thread keeps returning to the
+                    # interpreter: signal handlers (the bench's cooperative
+                    # quiesce, SIGUSR1) cannot run inside an untimed
+                    # condition wait
+                    cond.wait(timeout=0.25)
                 if error:
                     raise error[0]
                 batch = results.pop(i)

@@ -84,7 +84,15 @@ def prefetch_to_device(iterable, size: int = 2, put_fn: Optional[Callable] = Non
     th.start()
     try:
         while True:
-            item = q.get()
+            # timed get: an untimed Queue.get blocks in a C-level lock wait
+            # where CPython defers signal handlers, which breaks the
+            # cooperative bench-quiesce protocol (tools/parity_study
+            # SIGUSR1 parks the main thread; the handler can only run
+            # between bytecodes)
+            try:
+                item = q.get(timeout=0.25)
+            except _queue.Empty:
+                continue
             if item is sentinel:
                 if err:
                     raise err[0]

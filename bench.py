@@ -37,9 +37,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
 # reports sub-second compile times for programs whose end-to-end first
 # dispatch takes minutes, so the 1.0 s default threshold skips exactly the
 # entries worth caching (this is why round 3 saw an empty cache dir).
+# ... and the cache DIR itself must also go through jax.config: the
+# image's sitecustomize imports jax at interpreter startup, so jax's
+# config options have already read os.environ before this module runs —
+# env mutations here are invisible to them.
 import jax as _jax
 
 if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
@@ -428,7 +433,11 @@ def bench_train_e2e(print_json=True):
                     "value": round(rate, 2),
                     "unit": "clips/s/chip",
                     "vs_baseline": round(rate / BASELINE_CLIPS_PER_SEC_PER_CHIP, 2),
-                    **{k: v for k, v in extras.items() if k.startswith("host")},
+                    **{
+                        k: v
+                        for k, v in extras.items()
+                        if k.startswith("host") or k == "e2e_window_rates"
+                    },
                 }
             )
         )

@@ -27,6 +27,8 @@ jax.config.update("jax_platforms", "cpu")
 # the min_* env vars above are read by nothing in jax 0.9 (float/int_state
 # without env plumbing); set the real config so small test executables are
 # persisted too
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 assert jax.devices()[0].platform == "cpu", jax.devices()

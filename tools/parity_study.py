@@ -59,6 +59,8 @@ if _PLATFORM != "cpu":
     # min_* thresholds have no env plumbing (jax 0.9 float_state) and the
     # axon relay under-reports compile walls, so set them via config or the
     # expensive entries never get written (see bench.py)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

@@ -35,6 +35,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
 # (see bench.py for the axon compile-time-reporting rationale)
 import jax as _jax  # noqa: E402
 
+_jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
@@ -169,9 +170,17 @@ def main():
     jax.block_until_ready(state.params)
     print(json.dumps({"note": "compiled", "platform": jax.devices()[0].platform}))
 
-    modes = ["baseline", "pipelined", "prefetch"] if mode == "all" else [mode]
-    for m in modes:
-        state = run_mode(m, step, state, make_loader, steps, batch)
+    # quiesce background studies for the measured section (same protocol as
+    # the bench; compile/warm above ran unpaused)
+    from bench import _pause_for_measurement, _resume_background
+
+    _pause_for_measurement()
+    try:
+        modes = ["baseline", "pipelined", "prefetch"] if mode == "all" else [mode]
+        for m in modes:
+            state = run_mode(m, step, state, make_loader, steps, batch)
+    finally:
+        _resume_background()
 
 
 if __name__ == "__main__":
