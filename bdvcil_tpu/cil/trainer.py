@@ -39,6 +39,7 @@ from ..runtime import (
     TrainState,
     load_checkpoint,
     make_eval_step,
+    make_multi_train_step,
     make_train_step,
     save_checkpoint,
 )
@@ -307,9 +308,9 @@ class CILTrainer:
         nc = self.num_classes(t)
         num_batches = len(loader)
         tx, accumulate = self._make_optimizer(self.variables["params"], phase, num_batches)
-        step_fn = make_train_step(
-            self.spec,
-            tx,
+        step_kwargs = dict(
+            spec=self.spec,
+            tx=tx,
             num_classes=nc,
             method=self.method,
             task_idx=t,
@@ -319,6 +320,17 @@ class CILTrainer:
             kd_config=self._kd_config(),
             video_mix=self._video_mix_cfg(),
             input_fn=input_fn,
+        )
+        step_fn = make_train_step(**step_kwargs)
+        # K batches per device dispatch (runtime/steps.make_multi_train_step):
+        # identical math + rng chain, 1/K the host per-dispatch cost — the
+        # e2e bottleneck on CPU-starved hosts. Worth it only when epochs
+        # have >= K batches (chunks never cross epoch boundaries).
+        spd = max(1, int(self.config.get("steps_per_dispatch", 1)))
+        multi_fn = (
+            make_multi_train_step(step_kwargs, spd)
+            if spd > 1 and num_batches >= spd
+            else None
         )
         state = TrainState.create(self.variables, tx)
 
@@ -396,6 +408,8 @@ class CILTrainer:
             epoch_hook=epoch_hook,
             start_epoch=start_epoch,
             snapshot_hook=snapshot_hook if use_snap else None,
+            multi_step_fn=multi_fn,
+            steps_per_dispatch=spd if multi_fn is not None else 1,
         )
         if use_snap:
             # the phase completed; a stale snapshot must not be restored by a

@@ -89,11 +89,20 @@ def pad_to_multiple(array: np.ndarray, multiple: int, axis: int = 0):
     return np.pad(array, pad_widths, mode="edge"), n
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis_name: str = "data") -> Dict[str, Any]:
-    """device_put numeric fields with leading-dim sharding.
+def shard_batch(
+    batch: Dict[str, Any],
+    mesh: Mesh,
+    axis_name: str = "data",
+    leading_pytree_axes: int = 0,
+) -> Dict[str, Any]:
+    """device_put numeric fields with batch-dim sharding.
 
     Batch sizes must be divisible by the mesh size; callers pad with
     ``pad_to_multiple`` and carry a valid mask. Non-array fields pass through.
+    ``leading_pytree_axes`` is the index of the data-sharded batch axis —
+    0 for plain batches, 1 for K-stacked super-batches (the lax.scan step
+    axis of runtime/steps.make_multi_train_step leads, and must stay
+    unsharded: every device runs all K scan iterations on its batch shard).
 
     Multi-process: each process passes its LOCAL rows of the global batch
     (the loaders shard batches per process, data/loader.py) and the global
@@ -101,13 +110,20 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis_name: str = "data") -> D
     ``jax.make_array_from_process_local_data`` — the TPU-native replacement
     for the reference's per-rank DistributedSampler shards (SURVEY.md §2.4).
     """
-    sharding = batch_sharding(mesh, axis_name)
+    axes = tuple(mesh.axis_names)
+    spec = [None] * leading_pytree_axes + [axes if len(axes) > 1 else axes[0]]
+    sharding = NamedSharding(mesh, P(*spec))
+    b_ax = leading_pytree_axes
     nproc = jax.process_count()
     out = {}
     for key, value in batch.items():
         if isinstance(value, np.ndarray) and value.dtype != object:
             if nproc > 1:
-                global_shape = (value.shape[0] * nproc,) + value.shape[1:]
+                global_shape = (
+                    value.shape[:b_ax]
+                    + (value.shape[b_ax] * nproc,)
+                    + value.shape[b_ax + 1 :]
+                )
                 out[key] = jax.make_array_from_process_local_data(
                     sharding, np.ascontiguousarray(value), global_shape
                 )

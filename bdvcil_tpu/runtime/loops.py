@@ -13,6 +13,7 @@ import itertools
 from typing import Any, Callable, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..parallel.mesh import batch_sharding, shard_batch
@@ -117,6 +118,8 @@ def train_epochs(
     epoch_hook: Optional[Callable] = None,
     start_epoch: int = 0,
     snapshot_hook: Optional[Callable] = None,
+    multi_step_fn: Optional[Callable] = None,
+    steps_per_dispatch: int = 1,
 ):
     """Run the jitted step over epochs. Returns (state, last_metrics).
 
@@ -126,6 +129,14 @@ def train_epochs(
     boundary — together with ``start_epoch`` this gives bit-exact
     mid-task resume after a preemption (runtime/checkpoint.py train
     snapshots). Throughput is metered in clips/sec.
+
+    ``steps_per_dispatch`` > 1 (with ``multi_step_fn`` from
+    runtime/steps.make_multi_train_step) groups K consecutive batches of an
+    epoch into ONE stacked transfer + ONE lax.scan dispatch — the same
+    training math and the same rng-key chain, but the host pays its
+    per-dispatch costs once per K steps (the e2e bottleneck on CPU-starved
+    hosts, PERF_NOTES round 4). Chunks never cross an epoch boundary; an
+    epoch's remainder (< K batches) runs through the per-step ``step_fn``.
     """
     meter = Throughput(warmup=2)
     # on mid-task resume, keep logged step numbers aligned with the true
@@ -135,11 +146,8 @@ def train_epochs(
     pending_metrics = None  # device arrays from the previous log step: reading
     # them one interval later avoids stalling the dispatch pipeline on a sync
 
-    def _prepare(batch):
-        """Host side of one step, run in the prefetch thread: field split,
-        valid-row count, and the host->device transfer/sharding — so the
-        transfer overlaps the previous step's device execution instead of
-        serializing inside the next dispatch."""
+    def _split(batch):
+        """Field split + valid-row count for one loader batch (host only)."""
         # fast uint8/yuv420 path (data/device_pipeline.py)
         if "imgs_u8" in batch or "imgs_y" in batch:
             imgs = {
@@ -160,18 +168,81 @@ def train_epochs(
         else:
             n_valid = int(np.shape(labels)[0])
         n_valid *= jax.process_count()
+        return imgs, labels, extra, n_valid
+
+    def _put(imgs, labels, extra, batch_axes=None):
+        """Host->device transfer/sharding (runs in the prefetch thread, so
+        it overlaps the previous step's device execution). ``batch_axes``
+        shifts the data-sharded axis for K-stacked super-batches (the scan
+        axis K leads, the per-device batch axis is second)."""
         imgs_d = imgs if isinstance(imgs, dict) else {"imgs": imgs}
+        tree = {**imgs_d, "label": labels, **extra}
         if mesh is not None:
-            put = shard_batch({**imgs_d, "label": labels, **extra}, mesh)
+            put = shard_batch(tree, mesh, leading_pytree_axes=batch_axes or 0)
         else:
             put = {
                 k: jax.device_put(v) if isinstance(v, np.ndarray) else v
-                for k, v in {**imgs_d, "label": labels, **extra}.items()
+                for k, v in tree.items()
             }
         labels = put["label"]
         extra = {k: put[k] for k in extra}
         imgs = {k: put[k] for k in imgs} if isinstance(imgs, dict) else put["imgs"]
-        return imgs, labels, extra, n_valid
+        return imgs, labels, extra
+
+    def _prepare(batch):
+        """Host side of one step, run in the prefetch thread."""
+        imgs, labels, extra, n_valid = _split(batch)
+        imgs, labels, extra = _put(imgs, labels, extra)
+        return "single", imgs, labels, extra, n_valid
+
+    def _prepare_chunk(batches):
+        """K batches -> one stacked super-batch, one transfer (the host cost
+        the K-step dispatch amortizes)."""
+        parts = [_split(b) for b in batches]
+        imgs0 = parts[0][0]
+
+        def stack(get):
+            leaves = [get(p) for p in parts]
+            if isinstance(leaves[0], dict):
+                return {k: np.stack([l[k] for l in leaves]) for k in leaves[0]}
+            return np.stack(leaves)
+
+        imgs = stack(lambda p: p[0])
+        labels = stack(lambda p: p[1])
+        extra = (
+            {k: np.stack([p[2][k] for p in parts]) for k in parts[0][2]}
+            if parts[0][2]
+            else {}
+        )
+        n_valid = sum(p[3] for p in parts)
+        imgs, labels, extra = _put(imgs, labels, extra, batch_axes=1)
+        return "multi", imgs, labels, extra, n_valid
+
+    def _prepare_item(item):
+        return _prepare_chunk(item) if isinstance(item, list) else _prepare(item)
+
+    use_multi = steps_per_dispatch > 1 and multi_step_fn is not None
+    batches_per_epoch = len(loader)
+
+    def _grouped(src):
+        """Group an epoch-ordered batch stream into K-chunks that never
+        cross an epoch boundary; epoch remainders pass through as single
+        batches (they take the per-step fn — no ragged-shape recompiles)."""
+        chunk: List = []
+        for pos, b in enumerate(src, 1):
+            chunk.append(b)
+            if len(chunk) == steps_per_dispatch:
+                yield chunk
+                chunk = []
+            if pos % batches_per_epoch == 0 and chunk:
+                yield from chunk
+                chunk = []
+        yield from chunk
+
+    def _items_per_epoch():
+        if not use_multi:
+            return batches_per_epoch
+        return batches_per_epoch // steps_per_dispatch + batches_per_epoch % steps_per_dispatch
 
     # Epoch-spanning producer stream: the fast loaders can chain all epochs'
     # batch lists through one worker pool (iter_epochs), so the decode
@@ -181,28 +252,45 @@ def train_epochs(
     # per-epoch iteration — including after a mid-task resume at start_epoch.
     span_stream = None
     if hasattr(loader, "iter_epochs") and num_epochs - start_epoch > 1:
+        src = loader.iter_epochs(start_epoch, num_epochs - start_epoch)
         span_stream = iter(
             prefetch_to_device(
-                loader.iter_epochs(start_epoch, num_epochs - start_epoch),
-                size=2,
-                put_fn=_prepare,
+                _grouped(src) if use_multi else src, size=2, put_fn=_prepare_item
             )
         )
-        batches_per_epoch = len(loader)
 
     for epoch in range(start_epoch, num_epochs):
         loader.set_epoch(epoch)
         epoch_iter = (
-            itertools.islice(span_stream, batches_per_epoch)
+            itertools.islice(span_stream, _items_per_epoch())
             if span_stream is not None
-            else prefetch_to_device(loader, size=2, put_fn=_prepare)
+            else prefetch_to_device(
+                _grouped(iter(loader)) if use_multi else loader,
+                size=2,
+                put_fn=_prepare_item,
+            )
         )
-        for imgs, labels, extra, n_valid in epoch_iter:
-            rng_key, step_key = jax.random.split(rng_key)
-            state, metrics = step_fn(state, prev_variables, imgs, labels, extra, step_key)
+        for kind, imgs, labels, extra, n_valid in epoch_iter:
+            if kind == "multi":
+                # the SAME rng-key chain as K single steps, stacked
+                step_keys = []
+                for _ in range(steps_per_dispatch):
+                    rng_key, sk = jax.random.split(rng_key)
+                    step_keys.append(sk)
+                state, metrics = multi_step_fn(
+                    state, prev_variables, imgs, labels, extra,
+                    jnp.stack(step_keys),
+                )
+                consumed = steps_per_dispatch
+            else:
+                rng_key, step_key = jax.random.split(rng_key)
+                state, metrics = step_fn(
+                    state, prev_variables, imgs, labels, extra, step_key
+                )
+                consumed = 1
             meter.tick(n_valid)
-            step += 1
-            if step % log_every_n_steps == 0:
+            prev_step, step = step, step + consumed
+            if step // log_every_n_steps > prev_step // log_every_n_steps:
                 if pending_metrics is not None:
                     last_metrics = {k: float(v) for k, v in pending_metrics.items()}
                     payload = {

@@ -64,7 +64,7 @@ def _loss_cls(
     return cross_entropy(cls_score, labels, sample_weights)
 
 
-def make_train_step(
+def _make_raw_train_step(
     spec: ModelSpec,
     tx,
     num_classes: int,
@@ -73,26 +73,14 @@ def make_train_step(
     prev_num_classes: int = 0,
     kd_config: Optional[Dict[str, Any]] = None,
     video_mix: Optional[Dict[str, float]] = None,
-    donate: bool = True,
+    donate: bool = True,  # accepted for kwargs-compat; jitting happens outside
     input_fn: Optional[Callable] = None,
 ) -> Callable:
-    """Build the jitted step for one task.
-
-    kd_config (method 'base', task>0): {'module_names', 'module_weights',
-    'scale_factor', 'exemplar_only'} (reference config keys kd_modules_names,
-    kd_weight_by_module, adaptive_scale_factors, kd_exemplar_only).
-
-    Returned step signature:
-        step(state, prev_variables, imgs, labels, extra, rng) -> (state, metrics)
-    where extra is a dict of optional arrays (foreground_ratio,
-    background_label) — pass {} when unused; prev_variables may be None
-    (ignored at task 0 / when KD is off).
-
-    Donation contract: ``state`` is donated to the XLA executable (halves
-    param HBM traffic). ``prev_variables`` must therefore NOT alias state
-    buffers — after the per-task ``prev <- current`` copy, materialize prev
-    with ``jax.tree.map(jnp.copy, ...)`` (the CIL trainer does this).
-    """
+    """The PURE (unjitted) per-batch train step — the single definition both
+    :func:`make_train_step` (jit) and :func:`make_multi_train_step`
+    (lax.scan body) compile, so the K-step super-dispatch is bitwise the
+    same math as the per-step loop. See :func:`make_train_step` for the
+    argument/signature contract."""
     module = spec.module(num_classes)
     use_kd = method == "base" and kd_config is not None and task_idx > 0
     use_prev_targets = method in ("icarl", "icarl_video_mix") and task_idx > 0
@@ -200,8 +188,46 @@ def make_train_step(
         )
         return new_state, metrics
 
+    train_step.needs_prev = needs_prev
+    return train_step
+
+
+def make_train_step(
+    spec: ModelSpec,
+    tx,
+    num_classes: int,
+    method: str = "base",
+    task_idx: int = 0,
+    prev_num_classes: int = 0,
+    kd_config: Optional[Dict[str, Any]] = None,
+    video_mix: Optional[Dict[str, float]] = None,
+    donate: bool = True,
+    input_fn: Optional[Callable] = None,
+) -> Callable:
+    """Build the jitted step for one task.
+
+    kd_config (method 'base', task>0): {'module_names', 'module_weights',
+    'scale_factor', 'exemplar_only'} (reference config keys kd_modules_names,
+    kd_weight_by_module, adaptive_scale_factors, kd_exemplar_only).
+
+    Returned step signature:
+        step(state, prev_variables, imgs, labels, extra, rng) -> (state, metrics)
+    where extra is a dict of optional arrays (foreground_ratio,
+    background_label) — pass {} when unused; prev_variables may be None
+    (ignored at task 0 / when KD is off).
+
+    Donation contract: ``state`` is donated to the XLA executable (halves
+    param HBM traffic). ``prev_variables`` must therefore NOT alias state
+    buffers — after the per-task ``prev <- current`` copy, materialize prev
+    with ``jax.tree.map(jnp.copy, ...)`` (the CIL trainer does this).
+    """
+    train_step = _make_raw_train_step(
+        spec, tx, num_classes, method=method, task_idx=task_idx,
+        prev_num_classes=prev_num_classes, kd_config=kd_config,
+        video_mix=video_mix, input_fn=input_fn,
+    )
     donate_argnums = (0,) if donate else ()
-    if not needs_prev:
+    if not train_step.needs_prev:
         # avoid shipping an unused prev tree through jit
         jitted = jax.jit(
             lambda state, imgs, labels, extra, rng: train_step(
@@ -213,6 +239,55 @@ def make_train_step(
             state, imgs, labels, extra, rng
         )
     return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_multi_train_step(step_kwargs: Dict[str, Any], steps_per_dispatch: int) -> Callable:
+    """K sequential train steps in ONE dispatch via ``lax.scan``.
+
+    Bitwise the same training math as K single steps — the scan body IS the
+    single-step function — but the host pays one device transfer and one
+    dispatch per K batches instead of K of each. On a host whose CPU is the
+    e2e bottleneck (this framework's production target couples a small host
+    core count to a fast chip; the 1-core dev box is the extreme case) this
+    multiplies the host's per-step budget by K: measured round 4, the
+    per-step e2e loop left ~40% of the chip idle to GIL/transfer
+    serialization while the K=4 super-step is device-bound.
+
+    Args mirror :func:`make_train_step` (pass them in ``step_kwargs``);
+    ``donate`` is forced on the outer jit. Returned signature:
+
+        step(state, prev_variables, imgs, labels, extra, rngs) -> (state, metrics)
+
+    where every array in ``imgs``/``labels``/``extra`` carries a leading
+    ``steps_per_dispatch`` axis (one slot per inner step, stacked on host by
+    runtime/loops.train_epochs) and ``rngs`` is ``(K, 2)`` uint32 keys.
+    ``metrics`` are the LAST inner step's values — the same step a per-step
+    loop would be reading when it logs.
+    """
+    assert steps_per_dispatch >= 1
+    step_kwargs = {k: v for k, v in step_kwargs.items() if k != "donate"}
+    inner = _make_raw_train_step(**step_kwargs)
+    needs_prev = inner.needs_prev
+
+    def multi(state, prev_variables, imgs, labels, extra, rngs):
+        def body(st, xs):
+            im, lb, ex, key = xs
+            return inner(st, prev_variables, im, lb, ex, key)
+
+        state, metrics = jax.lax.scan(body, state, (imgs, labels, extra, rngs))
+        return state, {k: v[-1] for k, v in metrics.items()}
+
+    if not needs_prev:
+        jitted = jax.jit(
+            lambda state, imgs, labels, extra, rngs: multi(
+                state, None, imgs, labels, extra, rngs
+            ),
+            donate_argnums=(0,),
+        )
+        return lambda state, prev_variables, imgs, labels, extra, rngs: jitted(
+            state, imgs, labels, extra, rngs
+        )
+    return jax.jit(multi, donate_argnums=(0,))
 
 
 def make_eval_step(spec: ModelSpec, num_classes: int) -> Callable:

@@ -15,6 +15,7 @@ README.md:24, and training costs ~3x a forward plus dataloader stalls). The
 driver's north-star target is vs_baseline >= 5 (BASELINE.md).
 """
 
+import itertools
 import json
 import os
 import sys
@@ -310,7 +311,7 @@ def _bench_train_state(num_segments):
     return spec, variables, tx
 
 
-def _measure_e2e_windows(run_epochs, steps_per_epoch):
+def _measure_e2e_windows(make_stream, run_steps, steps_per_epoch):
     """Median-of-N >=40-step steady-state windows (epoch 0 warms compile +
     plane cache). Short windows swing 30-50% with cgroup scheduling noise and
     multi-minute external load bursts on the shared dev box; interference is
@@ -320,14 +321,25 @@ def _measure_e2e_windows(run_epochs, steps_per_epoch):
 
     import jax
 
-    measure_epochs = max(2, -(-int(os.environ.get("BENCH_E2E_STEPS", "40")) // max(1, steps_per_epoch)))
+    measure_steps = max(2, int(os.environ.get("BENCH_E2E_STEPS", "40")))
     n_windows = max(1, int(os.environ.get("BENCH_E2E_WINDOWS", "5")))
-    run_epochs(0, 1)
+    warm_steps = max(2, steps_per_epoch)
+    total = warm_steps + n_windows * measure_steps
+    # ONE persistent producer stream across warmup and every window — the
+    # shape production runs (runtime/loops.train_epochs chains a task's
+    # epochs through one worker pool + device-prefetch pipeline). The old
+    # per-window stream restart paid a cold producer refill amortized over
+    # only ~40 steps, which under-reported steady state by ~25% on the
+    # 1-core box (profile_e2e single-stream 81 clips/s vs windowed 62).
+    # Windows still drain the device pipe at their boundary (run_steps
+    # blocks), so each times real completed work.
+    it = make_stream(-(-total // max(1, steps_per_epoch)))
+    run_steps(it, warm_steps)
     _pause_for_measurement()
     window_rates = []
     for w in range(n_windows):
         t0 = time.perf_counter()
-        clips = run_epochs(1 + w * measure_epochs, measure_epochs)
+        clips = run_steps(it, measure_steps)
         dt = time.perf_counter() - t0
         window_rates.append(clips / dt / max(1, jax.device_count()))
     return sorted(window_rates)[len(window_rates) // 2], window_rates
@@ -370,7 +382,8 @@ def bench_train_e2e(print_json=True):
     spec, variables, tx = _bench_train_state(num_segments)
     loader = FastBGMixLoader(
         video_infos, bg_files, batch_size=batch, num_segments=num_segments,
-        randaug_prob=0.75, seed=0, drop_last=True, prefetch=2,
+        randaug_prob=0.75, seed=0, drop_last=True,
+        prefetch=int(os.environ.get("BENCH_PREFETCH", "2")),
         num_workers=int(os.environ.get("BENCH_WORKERS", "1")),
         # YUV420 wire when the native kernel has it (the shipping default in
         # cil/trainer._try_fast_loader): half the host->device bytes
@@ -379,28 +392,76 @@ def bench_train_e2e(print_json=True):
     input_fn = make_fast_input_fn(
         alpha=0.5, with_randaug=True, dtype=jnp.bfloat16, wire_format=loader.wire_format
     )
-    step = make_train_step(spec, tx, num_classes=51, method="base", input_fn=input_fn)
+    # K batches per device dispatch (runtime/steps.make_multi_train_step):
+    # ONE stacked transfer + ONE lax.scan dispatch per K steps multiplies
+    # the host's per-step budget by K — on CPU-starved hosts the per-step
+    # loop leaves the chip ~40% idle to GIL/transfer serialization
+    # (PERF_NOTES round 4). Identical training math; production equivalent
+    # is train_epochs(steps_per_dispatch=K).
+    spd = max(1, int(os.environ.get("BENCH_STEPS_PER_DISPATCH", "4")))
+    import numpy as _np
+
+    from bdvcil_tpu.runtime import make_multi_train_step
+
+    step_kwargs = dict(spec=spec, tx=tx, num_classes=51, method="base", input_fn=input_fn)
+    step = (
+        make_multi_train_step(step_kwargs, spd)
+        if spd > 1
+        else make_train_step(**step_kwargs)
+    )
     state = TrainState.create(variables, tx)
     key = jax.random.PRNGKey(0)
 
     from bdvcil_tpu.runtime.loops import prefetch_to_device
 
-    def run_epochs(first, count):
+    def _chunk(src):
+        while True:
+            items = list(itertools.islice(src, spd))
+            if len(items) < spd:
+                return  # drop the tail chunk: windows consume full chunks only
+            yield items
+
+    def _stack_put(items):
+        out = {k: _np.stack([b[k] for b in items]) for k in items[0]}
+        return {k: jax.device_put(v) for k, v in out.items()}
+
+    def make_stream(num_epochs):
+        # device-prefetch over an epoch-spanning producer stream: the u8
+        # batch transfer runs in a background thread while the device
+        # executes the previous step, and the decode workers stay hot across
+        # epoch AND window boundaries (same overlap train_epochs uses in
+        # production)
+        src = loader.iter_epochs(0, num_epochs)
+        if spd > 1:
+            return iter(prefetch_to_device(
+                _chunk(iter(src)),
+                size=int(os.environ.get("BENCH_PUT_PREFETCH", "2")),
+                put_fn=_stack_put,
+            ))
+        return iter(prefetch_to_device(
+            src, size=int(os.environ.get("BENCH_PUT_PREFETCH", "2")),
+        ))
+
+    def run_steps(it, n_steps):
         nonlocal state, key
         n = 0
-        # device-prefetch depth 2 over an epoch-spanning producer stream:
-        # the u8 batch transfer runs in a background thread while the device
-        # executes the previous step, and the decode workers stay hot across
-        # epoch boundaries (same overlap train_epochs uses in production)
-        for b in prefetch_to_device(loader.iter_epochs(first, count), size=2):
-            imgs = {k: v for k, v in b.items() if k != "label"}
-            key, sk = jax.random.split(key)
-            state, metrics = step(state, None, imgs, b["label"], {}, sk)
-            n += batch
+        if spd > 1:
+            for b in itertools.islice(it, max(1, n_steps // spd)):
+                imgs = {k: v for k, v in b.items() if k != "label"}
+                keys = jax.random.split(key, spd + 1)
+                key = keys[0]
+                state, metrics = step(state, None, imgs, b["label"], {}, keys[1:])
+                n += batch * spd
+        else:
+            for b in itertools.islice(it, n_steps):
+                imgs = {k: v for k, v in b.items() if k != "label"}
+                key, sk = jax.random.split(key)
+                state, metrics = step(state, None, imgs, b["label"], {}, sk)
+                n += batch
         jax.block_until_ready(state.params)
         return n
 
-    rate, window_rates = _measure_e2e_windows(run_epochs, len(loader))
+    rate, window_rates = _measure_e2e_windows(make_stream, run_steps, len(loader))
 
     # host decode capability on THIS box (thread-pool peak) and the honest
     # extrapolation: e2e is min(device rate, host decode rate / frames-per-
@@ -492,10 +553,13 @@ def bench_train_e2e_acm(print_json=True):
     state = TrainState.create(variables, tx)
     key = jax.random.PRNGKey(0)
 
-    def run_epochs(first, count):
+    def make_stream(num_epochs):
+        return iter(prefetch_to_device(loader.iter_epochs(0, num_epochs), size=2))
+
+    def run_steps(it, n_steps):
         nonlocal state, key
         n = 0
-        for b in prefetch_to_device(loader.iter_epochs(first, count), size=2):
+        for b in itertools.islice(it, n_steps):
             imgs = {k: v for k, v in b.items()
                     if k not in ("label", "foreground_ratio", "background_label")}
             key, sk = jax.random.split(key)
@@ -504,7 +568,7 @@ def bench_train_e2e_acm(print_json=True):
         jax.block_until_ready(state.params)
         return n
 
-    rate, window_rates = _measure_e2e_windows(run_epochs, len(loader))
+    rate, window_rates = _measure_e2e_windows(make_stream, run_steps, len(loader))
 
     out = {
         "metric": "e2e_acm_train_clips_per_sec_per_chip_tsm_r50_8x224",

@@ -128,17 +128,45 @@ def _mkdir(root: pathlib.Path, name: str) -> pathlib.Path:
     return p
 
 
+# A paired run only evidences cross-framework bias when BOTH sides actually
+# trained: runs where a side's final-stage accuracy lands at chance/floor
+# fell off the from-scratch convergence cliff (an SGD-stability artifact of
+# the synthetic protocol's difficulty tuning, documented in
+# tests/test_protocol_parity.py method_overrides) and carry no parity
+# information — the delta is "trained vs untrained", not "jax vs torch".
+# Collapses are EXCLUDED from the bias statistics but COUNTED PER SIDE:
+# an asymmetric collapse rate would itself be a framework difference, so
+# the counts are first-class study output, not a filter hidden in a test.
+COLLAPSE_FLOOR_PTS = 20.0
+
+
+def _converged(r, metric):
+    return (
+        r[f"{metric}_torch"][-1] >= COLLAPSE_FLOOR_PTS
+        and r[f"{metric}_jax"][-1] >= COLLAPSE_FLOOR_PTS
+    )
+
+
 def summarize(results):
-    """Per-stage mean/SE of the paired deltas (jax - torch), plus the final
-    stage in isolation (the north star is the FINAL average accuracy)."""
+    """Per-stage mean/SE of the paired deltas (jax - torch) over CONVERGED
+    pairs, plus the final stage in isolation (the north star is the FINAL
+    average accuracy) and per-side collapse counts."""
     n_stages = len(results[0]["cnn_torch"])
     out = {}
     for metric in ("cnn", "nme"):
+        conv = [r for r in results if _converged(r, metric)]
+        n_torch_coll = sum(r[f"{metric}_torch"][-1] < COLLAPSE_FLOOR_PTS for r in results)
+        n_jax_coll = sum(r[f"{metric}_jax"][-1] < COLLAPSE_FLOOR_PTS for r in results)
+        use = conv if conv else results  # never divide by zero; flag below
         deltas = np.array(
             [[r[f"{metric}_jax"][s] - r[f"{metric}_torch"][s] for s in range(n_stages)]
-             for r in results]
-        )  # (n_seeds, n_stages)
+             for r in use]
+        )  # (n_converged, n_stages)
         out[metric] = dict(
+            n_converged=len(conv),
+            n_collapsed_torch=int(n_torch_coll),
+            n_collapsed_jax=int(n_jax_coll),
+            converged_seeds=[r["seed"] for r in conv],
             per_stage_mean_delta=[round(float(m), 2) for m in deltas.mean(axis=0)],
             per_stage_se=[round(float(s), 2)
                           for s in deltas.std(axis=0, ddof=1) / np.sqrt(len(deltas))]
