@@ -615,8 +615,14 @@ class FastEvalLoader:
                         one ~131 KB frame) — the reference's host TenCrop
                         chain (five_crops.py + test pipeline) replaced by a
                         ship-once wire.
-      * 'auto'        — 'yuv420_full' when the native kernel provides it,
-                        else 'rgb'.
+      * 'auto'        — 'yuv420_full' for TenCrop when the native kernel
+                        provides it, else 'rgb'. CenterCrop stays on 'rgb':
+                        the full-frame wire resizes ~1.7x the pixels of a
+                        single 224 crop window and ships similar bytes, and
+                        measured SLOWER for center (12.8 vs 22.9 videos/s,
+                        round 4) while TenCrop — 5 overlapping crops
+                        collapsing to one frame — measured 2.6x FASTER
+                        (8.8 vs 3.4).
     """
 
     def __init__(
@@ -639,7 +645,9 @@ class FastEvalLoader:
         if not native.available():
             raise RuntimeError("native decoder unavailable; use the standard DataLoader")
         if wire_format == "auto":
-            wire_format = "yuv420_full" if native.has_yuv420_full() else "rgb"
+            wire_format = (
+                "yuv420_full" if (tencrop and native.has_yuv420_full()) else "rgb"
+            )
         if wire_format not in ("rgb", "yuv420_full"):
             raise ValueError(f"unknown eval wire_format {wire_format!r}")
         if wire_format == "yuv420_full" and not native.has_yuv420_full():
