@@ -324,7 +324,8 @@ def _measure_e2e_windows(make_stream, run_steps, steps_per_epoch):
     measure_steps = max(2, int(os.environ.get("BENCH_E2E_STEPS", "40")))
     n_windows = max(1, int(os.environ.get("BENCH_E2E_WINDOWS", "5")))
     warm_steps = max(2, steps_per_epoch)
-    total = warm_steps + n_windows * measure_steps
+    flush_steps = max(8, steps_per_epoch)  # > producer+put prefetch depth
+    total = warm_steps + flush_steps + n_windows * measure_steps
     # ONE persistent producer stream across warmup and every window — the
     # shape production runs (runtime/loops.train_epochs chains a task's
     # epochs through one worker pool + device-prefetch pipeline). The old
@@ -336,6 +337,10 @@ def _measure_e2e_windows(make_stream, run_steps, steps_per_epoch):
     it = make_stream(-(-total // max(1, steps_per_epoch)))
     run_steps(it, warm_steps)
     _pause_for_measurement()
+    # the ~12 s quiesce handshake lets the producer run ahead and fill every
+    # queue; consuming that depth untimed keeps window 1 honest steady-state
+    # instead of inflated by pre-decoded batches (measured +25-35% on w1)
+    run_steps(it, flush_steps)
     window_rates = []
     for w in range(n_windows):
         t0 = time.perf_counter()
