@@ -554,22 +554,57 @@ def bench_train_e2e_acm(print_json=True):
         wire_format=os.environ.get("BENCH_WIRE", "auto"),
     )
     input_fn = make_fast_acm_input_fn(dtype=jnp.bfloat16, wire_format=loader.wire_format)
-    step = make_train_step(spec, tx, num_classes=51, method="base", input_fn=input_fn)
+    # same K-batches-per-dispatch scheme as bench_train_e2e (the ACM family
+    # ships TWO clips per sample, so the host is even more dispatch-bound)
+    spd = max(1, int(os.environ.get("BENCH_STEPS_PER_DISPATCH", "4")))
+    import numpy as _np
+
+    from bdvcil_tpu.runtime import make_multi_train_step
+
+    step_kwargs = dict(spec=spec, tx=tx, num_classes=51, method="base", input_fn=input_fn)
+    step = (
+        make_multi_train_step(step_kwargs, spd)
+        if spd > 1
+        else make_train_step(**step_kwargs)
+    )
     state = TrainState.create(variables, tx)
     key = jax.random.PRNGKey(0)
 
+    def _chunk(src):
+        while True:
+            items = list(itertools.islice(src, spd))
+            if len(items) < spd:
+                return
+            yield items
+
+    def _stack_put(items):
+        out = {k: _np.stack([b[k] for b in items]) for k in items[0]}
+        return {k: jax.device_put(v) for k, v in out.items()}
+
     def make_stream(num_epochs):
-        return iter(prefetch_to_device(loader.iter_epochs(0, num_epochs), size=2))
+        src = loader.iter_epochs(0, num_epochs)
+        if spd > 1:
+            return iter(prefetch_to_device(_chunk(iter(src)), size=2, put_fn=_stack_put))
+        return iter(prefetch_to_device(src, size=2))
 
     def run_steps(it, n_steps):
         nonlocal state, key
         n = 0
-        for b in itertools.islice(it, n_steps):
-            imgs = {k: v for k, v in b.items()
-                    if k not in ("label", "foreground_ratio", "background_label")}
-            key, sk = jax.random.split(key)
-            state, metrics = step(state, None, imgs, b["label"], {}, sk)
-            n += batch
+        if spd > 1:
+            for b in itertools.islice(it, max(1, n_steps // spd)):
+                imgs = {k: v for k, v in b.items()
+                        if k not in ("label", "foreground_ratio", "background_label")}
+                keys = jax.random.split(key, spd + 1)
+                key = keys[0]
+                state, metrics = step(state, None, imgs, b["label"], {}, keys[1:])
+                n += batch * spd
+        else:
+            for b in itertools.islice(it, n_steps):
+                imgs = {k: v for k, v in b.items()
+                        if k not in ("label", "foreground_ratio", "background_label")}
+                key, sk = jax.random.split(key)
+                state, metrics = step(state, None, imgs, b["label"], {}, sk)
+                n += batch
         jax.block_until_ready(state.params)
         return n
 
