@@ -244,9 +244,11 @@ def make_train_step(
 def make_multi_train_step(step_kwargs: Dict[str, Any], steps_per_dispatch: int) -> Callable:
     """K sequential train steps in ONE dispatch via ``lax.scan``.
 
-    Bitwise the same training math as K single steps — the scan body IS the
-    single-step function — but the host pays one device transfer and one
-    dispatch per K batches instead of K of each. On a host whose CPU is the
+    The same training math as K single steps — the scan body IS the
+    single-step function, so results match to XLA fp-reassociation
+    tolerance (~1e-7/step; tests/test_multi_dispatch.py) — but the host
+    pays one device transfer and one dispatch per K batches instead of K
+    of each. On a host whose CPU is the
     e2e bottleneck (this framework's production target couples a small host
     core count to a fast chip; the 1-core dev box is the extreme case) this
     multiplies the host's per-step budget by K: measured round 4, the

@@ -355,15 +355,17 @@ def bench_train_e2e(print_json=True):
     input pipeline: synthetic UCF-101-shaped rawframes -> native C++ decode ->
     device-fused RandAugment/normalize/bgmix -> TSM-R50 train step.
 
-    NOTE: this dev box has a ~4.5-core cgroup quota shared with the tunnel
-    relay, so the measured number is host-bound (round-3 median ~95 clips/s
-    with the YUV wire + decoded-plane cache + epoch-spanning producer), not
-    the fused-step device bound (~140 clips/s). Real v5e host VMs have ~26
-    vCPUs per chip; the C++ decode pool scales linearly with cores while the
-    per-clip decode demand stays fixed. Reports the median of 5 independent
-    >=40-step steady-state windows (external CPU bursts on the shared box
-    are one-sided noise; 5 windows tolerate 2 noise-hit windows where 3
-    tolerated 1 — measured same-session window spreads reach 62-86)."""
+    NOTE: this dev box is down to ONE effective core (round 4; round 3 had
+    a ~4.5-core burst quota) shared with the python tunnel relay, so the
+    measured number is host-bound: the K=4 super-dispatch
+    (BENCH_STEPS_PER_DISPATCH, runtime/steps.make_multi_train_step) is what
+    keeps the chip fed — round-4 median 92.3 clips/s vs 40.9 for the
+    per-step loop, against a 158.6 clips/s resident-input device ceiling.
+    Real v5e host VMs have ~26 vCPUs per chip; the C++ decode pool scales
+    with cores while per-clip demand stays fixed. Reports the median of 5
+    independent >=40-step steady-state windows over ONE persistent producer
+    stream (external CPU bursts are one-sided noise; 5 windows tolerate 2
+    hit windows)."""
     import time
 
     import jax
@@ -471,7 +473,7 @@ def bench_train_e2e(print_json=True):
     # host decode capability on THIS box (thread-pool peak) and the honest
     # extrapolation: e2e is min(device rate, host decode rate / frames-per-
     # clip x host cores). Real v5e-8 hosts have ~26 vCPUs per chip
-    # (PERF_NOTES "Host input path"); this dev box has ~4-5 effective cores.
+    # (PERF_NOTES "Host input path"); this dev box has ONE effective core.
     probe_paths = [
         str(root / "rawframes" / "v0000" / f"img_{t:05d}.jpg")
         for t in range(1, frames_per_video + 1)
@@ -489,7 +491,7 @@ def bench_train_e2e(print_json=True):
         "e2e_vs_baseline": round(rate / BASELINE_CLIPS_PER_SEC_PER_CHIP, 2),
         "e2e_window_rates": [round(r, 1) for r in window_rates],
         "host_decode_frames_per_sec": round(host_frames_per_sec, 1),
-        "e2e_note": "host-bound on this ~4-core-quota dev box; v5e hosts have ~26 vCPU/chip",
+        "e2e_note": "host-bound on this 1-core dev box; v5e hosts have ~26 vCPU/chip",
     }
     if print_json:
         print(
