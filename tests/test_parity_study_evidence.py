@@ -26,7 +26,8 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 REQUIRED = {
     ("base", 3): 8,
     ("icarl", 3): 8,
-    ("base", 6): 3,
+    ("icarl_video_mix", 3): 6,
+    ("base", 6): 6,
 }
 
 # Health bound on the final-stage systematic bias: |mean| must be within
