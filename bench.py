@@ -140,8 +140,11 @@ def _pause_registered_background_work():
         except OSError:
             pass
     # wait (bounded) for every coop study to park, then a short grace for
-    # its in-flight async dispatches to drain off the chip
-    deadline = _time.monotonic() + 10.0
+    # its in-flight async dispatches to drain off the chip. The handler can
+    # only run between the study's python bytecodes — a multi-second
+    # block_until_ready (herding gathers) defers it, so give it real time:
+    # 25 s of waiting is cheap insurance on a ~5 min measurement.
+    deadline = _time.monotonic() + 25.0
     acks = {pid: f"/tmp/bdvc_pause_ack_{pid}" for pid in signalled}
     while acks and _time.monotonic() < deadline:
         acks = {p: f for p, f in acks.items() if not os.path.exists(f)}
