@@ -28,6 +28,7 @@ REQUIRED = {
     ("icarl", 3): 8,
     ("icarl_video_mix", 3): 6,
     ("base", 6): 6,
+    ("base", 10): 4,
 }
 
 # Health bound on the final-stage systematic bias: |mean| must be within
