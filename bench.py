@@ -61,9 +61,10 @@ BASELINE_CLIPS_PER_SEC_PER_CHIP = 15.0
 
 # Long-running repo tooling (tools/parity_study.py) registers its PID here so
 # a driver bench run doesn't measure e2e throughput against our own CPU-bound
-# background studies. The bench SIGSTOPs those process trees for the duration
-# and SIGCONTs them on exit — pausing only processes whose cmdline actually
-# matches the registered tool, so a recycled PID is never touched.
+# background studies. Entries flagged 'coop' are quiesced via SIGUSR1/SIGUSR2
+# (see _pause_registered_background_work — SIGSTOP would wedge the TPU
+# tunnel); only processes whose cmdline matches the registered tag are
+# touched, so a recycled PID is never signalled.
 PAUSE_PIDS_FILE = os.environ.get("BDVC_BENCH_PAUSE_PIDS", "/tmp/bdvc_bench_pause.pids")
 
 
