@@ -39,6 +39,7 @@ from ..runtime import (
     TrainState,
     load_checkpoint,
     make_eval_step,
+    make_multi_eval_step,
     make_multi_train_step,
     make_train_step,
     save_checkpoint,
@@ -241,8 +242,33 @@ class CILTrainer:
             cache[num_classes] = make_eval_step(self.spec, num_classes)
         return cache[num_classes]
 
+    def _multi_eval_step(self, num_classes: int, spd: int):
+        """Cache K-dispatch eval steps per (classifier width, K)."""
+        cache = getattr(self, "_multi_eval_step_cache", None)
+        if cache is None:
+            cache = self._multi_eval_step_cache = {}
+        key = (num_classes, spd)
+        if key not in cache:
+            cache[key] = make_multi_eval_step(self.spec, num_classes, spd)
+        return cache[key]
+
     def _predict(self, loader, num_classes: int, extract_repr: bool = False) -> Dict[str, np.ndarray]:
         eval_step = self._eval_step(num_classes)
+        # K eval batches per dispatch (runtime/loops.run_inference): eval
+        # wall-clock in cil_testing (tasks 0..t re-tested every stage,
+        # reference cil.py:985-1028) is dispatch/transfer-bound on CPU-
+        # starved hosts, same as training — reuse the train knob unless the
+        # eval-specific one is set. run_inference ignores it on multi-chip
+        # meshes (there the batch dim shards over devices instead).
+        spd = max(
+            1,
+            int(
+                self.config.get(
+                    "eval_steps_per_dispatch", self.config.get("steps_per_dispatch", 1)
+                )
+            ),
+        )
+        multi = self._multi_eval_step(num_classes, spd) if spd > 1 else None
         return run_inference(
             eval_step,
             self.variables,
@@ -250,6 +276,8 @@ class CILTrainer:
             mesh=self.mesh,
             extract_repr=extract_repr,
             pad_batch_to=loader.batch_size,
+            steps_per_dispatch=spd,
+            multi_eval_step=multi,
         )
 
     def _averaged_scores(self, cls_score: np.ndarray) -> np.ndarray:

@@ -326,6 +326,8 @@ def run_inference(
     mesh=None,
     extract_repr: bool = False,
     pad_batch_to: Optional[int] = None,
+    steps_per_dispatch: int = 1,
+    multi_eval_step: Optional[Callable] = None,
 ) -> Dict[str, np.ndarray]:
     """Unshuffled forward over a dataset.
 
@@ -338,20 +340,34 @@ def run_inference(
     and outputs are all-gathered on device (parallel/mesh.gather_to_host) —
     replacing the reference's per-rank prediction files + host merge
     (cil.py:1092-1126). Trimmed to ``loader.num_valid`` rows.
+
+    ``steps_per_dispatch`` > 1 (with a matching ``multi_eval_step`` from
+    runtime/steps.make_multi_eval_step) stacks K batches into ONE device
+    dispatch — the inference twin of train_epochs' K-super-dispatch, for
+    hosts whose eval wall-clock is per-batch dispatch/transfer bound
+    (cil_testing re-tests tasks 0..t every stage, cil.py:985-1028). Groups
+    are stacked in the prefetch thread; a ragged tail group (or a group
+    with mismatched batch shapes — pass ``pad_batch_to``) falls back to the
+    per-batch step, so results are identical batch-for-batch. Multi-chip
+    meshes keep the per-batch path: there the batch dim is sharded over
+    devices and dispatch overhead amortizes across chips already.
     """
     if jax.process_count() > 1:
         return _run_inference_multiprocess(eval_step, variables, loader, mesh, extract_repr)
 
+    spd = int(steps_per_dispatch)
+    if multi_eval_step is None or (mesh is not None and mesh.devices.size > 1):
+        spd = 1
+
     scores: List[np.ndarray] = []
     labels_out: List[np.ndarray] = []
     reprs: List[np.ndarray] = []
+    sharding = batch_sharding(mesh) if mesh is not None else None
 
-    def _prep(batch):
-        """Pad + start the host->device transfer (runs in the prefetch
-        thread, overlapping the device's forward on the previous batch).
-        ``imgs`` may be one array or the full-frame YUV eval wire dict
-        (imgs_y/imgs_c/crop_yx) — every leaf is padded on the leading dim
-        and shipped with the same batch sharding."""
+    def _prep_host(batch):
+        """Pad on host (runs in the prefetch thread). ``imgs`` may be one
+        array or the full-frame YUV eval wire dict (imgs_y/imgs_c/crop_yx)
+        — every leaf is padded on the leading dim."""
         if "imgs" in batch:
             imgs = {"imgs": np.asarray(batch["imgs"])}
         else:
@@ -369,29 +385,75 @@ def run_inference(
                 k: np.pad(v, [(0, target - n_valid)] + [(0, 0)] * (v.ndim - 1), mode="edge")
                 for k, v in imgs.items()
             }
-        sharding = batch_sharding(mesh) if mesh is not None else None
+        return imgs, labels, n_valid
+
+    def _put(imgs):
         imgs = {k: jax.device_put(v, sharding) for k, v in imgs.items()}
         if tuple(imgs) == ("imgs",):
             imgs = imgs["imgs"]
-        return imgs, labels, n_valid
+        return imgs
+
+    def _grouped(src):
+        buf = []
+        for b in src:
+            buf.append(b)
+            if len(buf) == spd:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
+
+    def _prep_group(group):
+        """Prefetch-thread work for one K-group: pad each batch, stack the
+        leaves to (K, B, ...) and start ONE transfer; fall back to per-batch
+        entries for ragged/mismatched groups."""
+        preps = [_prep_host(b) for b in group]
+        if spd > 1 and len(preps) == spd:
+            first = preps[0][0]
+            same = all(
+                p[0].keys() == first.keys()
+                and all(p[0][k].shape == first[k].shape for k in first)
+                for p in preps[1:]
+            )
+            if same:
+                imgs = {k: np.stack([p[0][k] for p in preps]) for k in first}
+                return ("multi", _put(imgs), [p[1] for p in preps], [p[2] for p in preps])
+        return ("single", [(_put(p[0]), p[1], p[2]) for p in preps])
 
     def _drain(entry):
-        out, labels, n_valid = entry
-        scores.append(np.asarray(out["cls_score"])[:n_valid])
-        labels_out.append(labels)
-        if extract_repr:
-            reprs.append(np.asarray(out["repr"])[:n_valid])
+        kind = entry[0]
+        if kind == "multi":
+            _, out, labels_list, n_valids = entry
+            cls = np.asarray(out["cls_score"])
+            rep = np.asarray(out["repr"]) if extract_repr else None
+            for k in range(len(labels_list)):
+                scores.append(cls[k][: n_valids[k]])
+                labels_out.append(labels_list[k])
+                if extract_repr:
+                    reprs.append(rep[k][: n_valids[k]])
+        else:
+            for out, labels, n_valid in entry[1]:
+                scores.append(np.asarray(out["cls_score"])[:n_valid])
+                labels_out.append(labels)
+                if extract_repr:
+                    reprs.append(np.asarray(out["repr"])[:n_valid])
 
-    # keep one step's outputs pending so materializing batch i's scores
-    # (np.asarray blocks until the forward finishes) happens AFTER batch
-    # i+1 is already dispatched — the loader decode, the transfer and the
+    # keep one group's outputs pending so materializing its scores
+    # (np.asarray blocks until the forward finishes) happens AFTER the next
+    # group is already dispatched — the loader decode, the transfer and the
     # device forward all overlap instead of serializing per batch
     pending = None
-    for imgs, labels, n_valid in prefetch_to_device(loader, size=2, put_fn=_prep):
-        out = eval_step(variables, imgs)
+    for entry in prefetch_to_device(_grouped(loader), size=2, put_fn=_prep_group):
+        if entry[0] == "multi":
+            dispatched = ("multi", multi_eval_step(variables, entry[1]), entry[2], entry[3])
+        else:
+            dispatched = (
+                "single",
+                [(eval_step(variables, im), lb, nv) for im, lb, nv in entry[1]],
+            )
         if pending is not None:
             _drain(pending)
-        pending = (out, labels, n_valid)
+        pending = dispatched
     if pending is not None:
         _drain(pending)
 

@@ -303,9 +303,14 @@ def make_eval_step(spec: ModelSpec, num_classes: int) -> Callable:
     {imgs_y, imgs_c, crop_yx_<px>} (data/device_pipeline.FastEvalLoader
     wire_format='yuv420_full'; the crop size rides in the jit-static key).
     """
+    return jax.jit(_make_raw_eval_fn(spec, num_classes))
+
+
+def _make_raw_eval_fn(spec: ModelSpec, num_classes: int) -> Callable:
+    """The un-jitted eval forward shared by make_eval_step (one batch per
+    dispatch) and make_multi_eval_step (K batches per dispatch)."""
     module = spec.module(num_classes)
 
-    @jax.jit
     def eval_step(variables, imgs):
         if isinstance(imgs, dict):
             # full-frame YUV wire: slice eval crops + YCbCr->RGB on device
@@ -336,3 +341,30 @@ def make_eval_step(spec: ModelSpec, num_classes: int) -> Callable:
         return {"cls_score": out["cls_score"], "repr": repr_}
 
     return eval_step
+
+
+def make_multi_eval_step(
+    spec: ModelSpec, num_classes: int, steps_per_dispatch: int
+) -> Callable:
+    """K eval forwards in ONE dispatch via ``lax.map`` — the inference twin
+    of :func:`make_multi_train_step`.
+
+    ``cil_testing`` re-tests every task 0..t at each stage
+    (reference cil.py:985-1028), so its wall-clock on a CPU-starved host is
+    dominated by per-batch dispatch/transfer serialization through the
+    runtime, not by the TenCrop forward itself (round-4 PERF_NOTES: warm
+    TenCrop 8.8 videos/s against a device doing hundreds). Stacking K
+    batches into one dispatch multiplies the host's per-batch budget by K,
+    same math per batch (the mapped body IS the single-step function).
+
+    ``imgs`` leaves carry a leading ``steps_per_dispatch`` axis; returns
+    the same output dict with every leaf stacked ``(K, B, ...)``.
+    """
+    assert steps_per_dispatch >= 1
+    raw = _make_raw_eval_fn(spec, num_classes)
+
+    @jax.jit
+    def multi(variables, imgs):
+        return jax.lax.map(lambda im: raw(variables, im), imgs)
+
+    return multi

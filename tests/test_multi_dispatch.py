@@ -170,3 +170,60 @@ def test_train_epochs_chunk_respects_epoch_boundary():
         np.testing.assert_array_equal(imgs, ri)
         np.testing.assert_array_equal(labels, rl)
         np.testing.assert_array_equal(rng, rk)
+
+
+# -- eval K-dispatch (runtime/steps.make_multi_eval_step) --------------------
+
+
+def test_multi_eval_step_equals_k_single_evals():
+    """ONE lax.map dispatch over K stacked eval batches == K single-jit
+    forwards, per batch, to fp-fusion tolerance (the mapped body IS the
+    single-step function; no carried state, so no horizon amplification)."""
+    from bdvcil_tpu.runtime import make_eval_step, make_multi_eval_step
+
+    spec, variables, _ = _model_and_tx()
+    eval_step = make_eval_step(spec, 3)
+    multi = make_multi_eval_step(spec, 3, 3)
+    rng = np.random.default_rng(0)
+    stacked = rng.integers(0, 255, (3, B, T, CROP, CROP, 3)).astype(np.uint8)
+    out = jax.tree.map(np.asarray, multi(variables, jnp.asarray(stacked)))
+    for k in range(3):
+        ref = jax.tree.map(np.asarray, eval_step(variables, jnp.asarray(stacked[k])))
+        np.testing.assert_allclose(out["cls_score"][k], ref["cls_score"], rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(out["repr"][k], ref["repr"], rtol=2e-5, atol=2e-5)
+
+
+def test_run_inference_multi_dispatch_matches_per_batch():
+    """run_inference(steps_per_dispatch=4) over 9 batches (one ragged) ==
+    the per-batch path: same scores/labels/order. Groups: [4 full] -> ONE
+    stacked dispatch; [3 full + 1 ragged] -> per-batch fallback (shape
+    mismatch inside the group); [1 tail] -> per-batch fallback."""
+    from bdvcil_tpu.runtime import make_eval_step, make_multi_eval_step
+    from bdvcil_tpu.runtime.loops import run_inference
+
+    spec, variables, _ = _model_and_tx()
+    eval_step = make_eval_step(spec, 3)
+    multi = make_multi_eval_step(spec, 3, 4)
+    rng = np.random.default_rng(1)
+    batches = []
+    for i in range(9):
+        b = 3 if i == 7 else B  # one ragged batch inside the second group
+        batches.append(
+            dict(
+                imgs=rng.integers(0, 255, (b, T, CROP, CROP, 3)).astype(np.uint8),
+                label=np.arange(b) % 3,
+            )
+        )
+    ref = run_inference(eval_step, variables, list(batches), extract_repr=True)
+    got = run_inference(
+        eval_step,
+        variables,
+        list(batches),
+        extract_repr=True,
+        steps_per_dispatch=4,
+        multi_eval_step=multi,
+    )
+    assert got["cls_score"].shape == ref["cls_score"].shape
+    np.testing.assert_array_equal(got["labels"], ref["labels"])
+    np.testing.assert_allclose(got["cls_score"], ref["cls_score"], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got["repr"], ref["repr"], rtol=2e-5, atol=2e-5)
