@@ -130,9 +130,14 @@ def test_study_file_health(path):
             r[f"{metric}_torch"][-1] < FLOOR for r in runs)
         assert summ["n_collapsed_jax"] == sum(
             r[f"{metric}_jax"][-1] < FLOOR for r in runs)
-        n = len(conv) or len(runs)
-        use = conv or runs
-        final = [r[f"{metric}_jax"][-1] - r[f"{metric}_torch"][-1] for r in use]
+        if not conv:
+            # zero converged pairs: summarize emits explicit nulls
+            # (no_converged_pairs) — nothing to cross-check
+            assert summ.get("no_converged_pairs") is True, (path.name, metric)
+            assert summ["final_stage_mean_delta"] is None
+            continue
+        n = len(conv)
+        final = [r[f"{metric}_jax"][-1] - r[f"{metric}_torch"][-1] for r in conv]
         mean = sum(final) / n
         assert abs(summ["final_stage_mean_delta"] - mean) < 0.02, (
             path.name, metric, summ["final_stage_mean_delta"], mean)

@@ -157,10 +157,26 @@ def summarize(results):
         conv = [r for r in results if _converged(r, metric)]
         n_torch_coll = sum(r[f"{metric}_torch"][-1] < COLLAPSE_FLOOR_PTS for r in results)
         n_jax_coll = sum(r[f"{metric}_jax"][-1] < COLLAPSE_FLOOR_PTS for r in results)
-        use = conv if conv else results  # never divide by zero; flag below
+        if not conv:
+            # bias statistics over zero converged pairs would silently
+            # measure trained-vs-untrained noise — emit explicit nulls
+            # instead (ADVICE round 4)
+            out[metric] = dict(
+                n_converged=0,
+                n_collapsed_torch=int(n_torch_coll),
+                n_collapsed_jax=int(n_jax_coll),
+                converged_seeds=[],
+                no_converged_pairs=True,
+                per_stage_mean_delta=None,
+                per_stage_se=None,
+                final_stage_mean_delta=None,
+                final_stage_se=None,
+                per_seed_final_delta=[],
+            )
+            continue
         deltas = np.array(
             [[r[f"{metric}_jax"][s] - r[f"{metric}_torch"][s] for s in range(n_stages)]
-             for r in use]
+             for r in conv]
         )  # (n_converged, n_stages)
         out[metric] = dict(
             n_converged=len(conv),
@@ -264,7 +280,25 @@ def main():
                     help="override extra_val_videos_per_class (finer accuracy "
                          "quantum; changes the val set => a DIFFERENT study, "
                          "do not mix with runs at the default in one --out)")
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                    help="config override applied to BOTH sides (ablation "
+                         "arms, e.g. --set use_cbf=False to isolate which "
+                         "subsystem carries a flagged bias); python-literal "
+                         "values, repeatable. Changes the protocol => a "
+                         "DIFFERENT study; recorded in the output and "
+                         "checked on --resume.")
     args = ap.parse_args()
+    import ast
+
+    cli_overrides = {}
+    for item in args.set:
+        key, _, val = item.partition("=")
+        if not _:
+            ap.error(f"--set needs KEY=VALUE, got {item!r}")
+        try:
+            cli_overrides[key] = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            cli_overrides[key] = val
     assert args.platform == _PLATFORM, "--platform must match the pre-parse"
     if args.seeds < 1:
         ap.error("--seeds must be >= 1")
@@ -291,6 +325,7 @@ def main():
         tree_params = dict(TREE_PARAMS)
     if args.extra_val is not None:
         tree_params["extra_val_videos_per_class"] = args.extra_val
+    extra_overrides.update(cli_overrides)
     tree = build_parity_tree(data_root, tree_params)
     work_root = data_root / "work"
 
@@ -298,12 +333,14 @@ def main():
     if args.resume and os.path.exists(args.out):
         prior = json.load(open(args.out))
         if (prior.get("method"), prior.get("stages", 3),
-                prior.get("extra_val")) != (args.method, args.stages,
-                                            args.extra_val):
+                prior.get("extra_val"), prior.get("overrides") or {}) != (
+                args.method, args.stages, args.extra_val, cli_overrides):
             ap.error(f"--resume: {args.out} holds method "
                      f"{prior.get('method')!r} at {prior.get('stages', 3)} "
-                     f"stages / extra_val {prior.get('extra_val')}, not "
-                     f"{args.method!r} at {args.stages} / {args.extra_val}")
+                     f"stages / extra_val {prior.get('extra_val')} / "
+                     f"overrides {prior.get('overrides')}, not "
+                     f"{args.method!r} at {args.stages} / {args.extra_val} "
+                     f"/ {cli_overrides}")
         results = list(prior["runs"])
         print(f"[parity_study] resumed {len(results)} runs "
               f"(seeds {[r['seed'] for r in results]})", flush=True)
@@ -313,6 +350,8 @@ def main():
                        extra_val=args.extra_val,
                        n_seeds=len(results), runs=results,
                        summary=summarize(results))
+        if cli_overrides:
+            payload["overrides"] = cli_overrides
         with open(args.out, "w") as f:
             json.dump(payload, f, indent=1)
         return payload
