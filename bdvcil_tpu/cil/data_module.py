@@ -280,7 +280,7 @@ class CILDataModule:
             params = self._fast_eval_params(pipeline_cfg)
             if params is not None and native.available() and len(dataset) > 0:
                 num_segments, short_side, crop, tencrop = params
-                return FastEvalLoader(
+                loader = FastEvalLoader(
                     dataset.video_infos,
                     # *_videos_per_gpu is a per-device batch (reference
                     # config :8); the global batch scales with the mesh,
@@ -302,6 +302,15 @@ class CILDataModule:
                     # wire (FastEvalLoader docstring)
                     wire_format=str(self.config.get("fast_eval_wire_format", "auto")),
                 )
+                # the resolved wire is part of any eval-accuracy evidence:
+                # 'auto' picks yuv420_full for TenCrop (resize-domain pixels
+                # differ from the rgb wire at the quantum level), so logs
+                # must say which wire produced a number (ADVICE round 4)
+                get_logger().info(
+                    "fast eval loader: wire=%s tencrop=%s crop=%d batch=%d",
+                    loader.wire_format, tencrop, crop, loader.batch_size,
+                )
+                return loader
         return DataLoader(
             dataset,
             batch_size=self.test_batch_size * self.world_size,

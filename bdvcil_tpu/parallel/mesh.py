@@ -111,7 +111,17 @@ def shard_batch(
     for the reference's per-rank DistributedSampler shards (SURVEY.md §2.4).
     """
     axes = tuple(mesh.axis_names)
-    spec = [None] * leading_pytree_axes + [axes if len(axes) > 1 else axes[0]]
+    # multi-axis meshes shard the batch dim over EVERY axis (hierarchical
+    # dcn x data meshes); on a 1-D mesh the caller's axis_name is honored —
+    # and must actually name the mesh axis (ADVICE round 4: it was silently
+    # ignored before, so a caller passing a custom name got whatever axis
+    # happened to be first)
+    if len(axes) == 1:
+        assert axis_name in axes, (axis_name, axes)
+        batch_spec = axis_name
+    else:
+        batch_spec = axes
+    spec = [None] * leading_pytree_axes + [batch_spec]
     sharding = NamedSharding(mesh, P(*spec))
     b_ax = leading_pytree_axes
     nproc = jax.process_count()

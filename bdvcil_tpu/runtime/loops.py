@@ -197,8 +197,21 @@ def train_epochs(
 
     def _prepare_chunk(batches):
         """K batches -> one stacked super-batch, one transfer (the host cost
-        the K-step dispatch amortizes)."""
+        the K-step dispatch amortizes). Chunks never cross epoch boundaries
+        (_grouped), so a ragged batch can only land here from a loader that
+        yields a short batch mid-epoch — np.stack would die in the prefetch
+        thread with a shape soup, so fail with the actual contract instead
+        (ADVICE round 4: steps_per_dispatch>1 requires uniform batches;
+        use drop_last or pad_to_batch on the loader)."""
         parts = [_split(b) for b in batches]
+        lead = {next(iter(p[0].values())).shape[0] if isinstance(p[0], dict)
+                else p[0].shape[0] for p in parts}
+        if len(lead) != 1:
+            raise ValueError(
+                f"steps_per_dispatch={steps_per_dispatch} got a chunk with "
+                f"mixed batch sizes {sorted(lead)} — K-dispatch requires "
+                "uniform batches (loader drop_last=True or pad_to_batch)"
+            )
         imgs0 = parts[0][0]
 
         def stack(get):

@@ -32,15 +32,18 @@ CROP = 224
 
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
-    """8 synthetic videos of T*2 frames at mixed geometries (landscape,
-    portrait, square) so resized dims and pad handling all differ."""
+    """16 synthetic videos of T*2 frames at mixed geometries (landscape,
+    portrait, square) so resized dims and pad handling all differ — sized
+    up from 8 in round 5 so the rgb-vs-yuv top-1 agreement check below
+    covers a corpus where a single flipped video can't hide in the 0.9
+    threshold as easily (ADVICE round 4)."""
     import cv2
 
     root = tmp_path_factory.mktemp("eval_yuv")
     rng = np.random.default_rng(7)
     sizes = [(240, 320), (320, 240), (250, 250), (240, 426)]
     infos = []
-    for v in range(8):
+    for v in range(16):
         h, w = sizes[v % len(sizes)]
         vdir = root / f"v{v}"
         vdir.mkdir()
