@@ -517,15 +517,18 @@ def bench_train_e2e(print_json=True):
 
     NOTE: this dev box is down to ONE effective core (round 4; round 3 had
     a ~4.5-core burst quota) shared with the python tunnel relay, so the
-    measured number is host-bound: the K=4 super-dispatch
+    measured number is host-bound: the K-batch super-dispatch
     (BENCH_STEPS_PER_DISPATCH, runtime/steps.make_multi_train_step) is what
-    keeps the chip fed — round-4 median 92.3 clips/s vs 40.9 for the
-    per-step loop, against a 158.6 clips/s resident-input device ceiling.
-    Real v5e host VMs have ~26 vCPUs per chip; the C++ decode pool scales
-    with cores while per-clip demand stays fixed. Reports the median of 5
-    independent >=40-step steady-state windows over ONE persistent producer
-    stream (external CPU bursts are one-sided noise; 5 windows tolerate 2
-    hit windows)."""
+    keeps the chip fed — round 5 moved the default K from 4 to 8 after
+    back-to-back runs showed K=8 both faster and tighter (medians 85-87 vs
+    71-89, min windows 72-77 vs 45-81; K=16 regresses — the 154 MB stacked
+    chunk serializes against the relay), against a 158.6 clips/s
+    resident-input device ceiling. Real v5e host VMs have ~26 vCPUs per
+    chip; the C++ decode pool scales with cores while per-clip demand
+    stays fixed. Reports the median of 5 independent >=40-step steady-state
+    windows over ONE persistent producer stream (external CPU bursts are
+    one-sided noise; 5 windows tolerate 2 hit windows), with per-window
+    diagnostics and settle-probe gating in _measure_e2e_windows."""
     import time
 
     import jax
