@@ -28,7 +28,7 @@ REQUIRED = {
     ("icarl", 3): 8,
     ("icarl_video_mix", 3): 6,
     ("base", 6): 16,
-    ("base", 10): 4,
+    ("base", 10): 9,
 }
 
 # Health bound on the final-stage systematic bias: |mean| must be within
@@ -58,11 +58,17 @@ OPEN_FLAGS = {
     # Round-5 16-seed extension SHARPENED the round-4 2.07-sigma 6-stage
     # CNN flag instead of resolving it: final-stage CNN -5.37 +- 2.03
     # (2.64 sigma, n_conv=11), NME -2.76 +- 1.15 (2.40 sigma, n=16), with
-    # a heavy negative tail (3 seeds at -11..-17). Under investigation
-    # against the deeper 10-stage extension (clean at +0.35 +- 1.74, n=3,
-    # being grown to 9 seeds) — a real depth-dependent bias would be the
-    # most important finding of the project; a 6-stage-tree-specific
-    # artifact the most likely alternative.
+    # a heavy negative tail (3 seeds at -11..-17). The 9-seed 10-stage
+    # extension LOCALIZED the structure: final-stage bias at north-star
+    # depth is ZERO (CNN +0.03 +- 0.96, NME +0.67 +- 0.86, n_conv=6), but
+    # the CIL-matrix decomposition shows a systematic mid-protocol
+    # recency skew in the jax CNN head vs the torch harness — new-task
+    # (diagonal) accuracy HIGHER, old-task (off-diagonal) retention
+    # LOWER (-3.76 +- 0.81 overall at 10 stages, 4.6 sigma) — that
+    # cancels in the stage-10 final average but not in the stage-6 one.
+    # NME (features) is clean, so the skew lives in the classifier-head
+    # training, not the backbone. Under active ablation (PARITY_ABLATION_*
+    # files, use_cbf=False arm first); analysis in PARITY.md.
     # (NME's -2.76 +- 1.15 = 2.40 sigma corroborates the direction but sits
     # inside the normal gate, so only CNN carries a flag entry.)
     ("base", 6, "cnn"): dict(max_abs_mean=8.0, sign=-1),
