@@ -185,6 +185,27 @@ def _fused_labeled_sgd(
     return optax.GradientTransformation(init, update)
 
 
+def _zero_frozen_grads(labels) -> optax.GradientTransformation:
+    """Drop 'frozen'-labeled gradients at the head of the chain, so global-
+    norm clipping and any accumulation see only the trainable gradients —
+    matching torch, where requires_grad=False params simply have none."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        zeroed = jax.tree.map(
+            lambda g, lbl: jnp.zeros_like(g) if lbl == "frozen" else g,
+            updates,
+            labels,
+        )
+        return zeroed, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def build_optimizer(
     params: Mapping,
     optimizer_cfg: Mapping,
@@ -257,6 +278,21 @@ def build_optimizer(
         tx = optax.multi_transform(transforms, labels)
 
     pre = []
+    if freeze_backbone:
+        # Zero frozen-leaf gradients BEFORE anything downstream sees them —
+        # the exact torch semantics, where requires_grad=False params have
+        # NO grads at all. Round-5 root cause of the 6-stage parity flag:
+        # with the zeroing only inside the labeled transform, the global-
+        # norm grad clip (cil.py:743 semantics) computed its norm over the
+        # full tree INCLUDING the about-to-be-discarded backbone grads, so
+        # during CBF (backbone frozen, clip 1.0 at task>0) every head
+        # update was scaled down by the backbone's gradient norm instead
+        # of the head's own — CBF barely moved the head, leaving the jax
+        # side with a measurable new-task recency skew (old-task retention
+        # -3.8 pts at 10 stages) that the torch reference does not have.
+        # PyTorch Lightning clips only parameters that HAVE grads, i.e.
+        # head-only when the backbone is frozen.
+        pre.append(_zero_frozen_grads(labels))
     if grad_clip is not None:
         pre.append(optax.clip_by_global_norm(grad_clip))
     tx = optax.chain(*pre, tx) if pre else tx

@@ -194,3 +194,35 @@ def test_fused_sgd_matches_multi_transform_chain():
                 np.asarray(other), np.asarray(leaf), rtol=1e-6, atol=1e-7,
                 err_msg=f"freeze={freeze} {path}",
             )
+
+
+def test_frozen_backbone_excluded_from_clip_norm():
+    """CBF semantics (round-5 root cause of the 6-stage parity flag): with
+    the backbone frozen, the global-norm clip must see ONLY the trainable
+    (head) gradients — torch's requires_grad=False params have no grads, so
+    Lightning's gradient_clip_val=1.0 (cil.py:743) clips over the head
+    alone. Before the fix, huge backbone grads inflated the clip norm and
+    shrank every CBF head update by that factor."""
+    params = {
+        "backbone": {"layer1_0": {"conv1": {"kernel": jnp.ones((4, 4))}}},
+        "head": {"fc_weights": jnp.ones((3, 2))},
+    }
+    grads = {
+        # enormous backbone grad: must NOT influence the head update
+        "backbone": {"layer1_0": {"conv1": {"kernel": 1e4 * jnp.ones((4, 4))}}},
+        "head": {"fc_weights": 0.1 * jnp.ones((3, 2))},
+    }
+    for fused in (True, False):
+        tx = build_optimizer(params, _cfg(lr=1.0), grad_clip=1.0,
+                             freeze_backbone=True, fused=fused)
+        state = tx.init(params)
+        u, _ = tx.update(grads, state, params)
+        # head grad norm = 0.1*sqrt(6) ~= 0.245 < 1.0 -> NO clipping; the
+        # head update must be the full fc_lr-scaled SGD step (lr 1.0,
+        # fc_scale 5, wd 0 from _cfg => update = -5 * 0.1 = -0.5/element)
+        head = np.asarray(u["head"]["fc_weights"])
+        expected = -5.0 * 0.1
+        np.testing.assert_allclose(head, expected, rtol=1e-5,
+                                   err_msg=f"fused={fused}")
+        assert float(np.abs(np.asarray(
+            u["backbone"]["layer1_0"]["conv1"]["kernel"])).sum()) == 0.0
