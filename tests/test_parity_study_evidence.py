@@ -53,24 +53,19 @@ BIAS_FLOOR_PTS = 1.0
 # runs, but the flag cannot silently worsen (growing past max_abs_mean or
 # flipping sign re-fails the suite) and cannot silently linger (an entry
 # whose study moves back inside the normal gate fails as stale, forcing
-# removal). Status and analysis live in PARITY.md "6-stage depth flag".
+# removal). Status and analysis live in PARITY.md "The 6-stage flag".
 OPEN_FLAGS = {
-    # Round-5 16-seed extension SHARPENED the round-4 2.07-sigma 6-stage
-    # CNN flag instead of resolving it: final-stage CNN -5.37 +- 2.03
-    # (2.64 sigma, n_conv=11), NME -2.76 +- 1.15 (2.40 sigma, n=16), with
-    # a heavy negative tail (3 seeds at -11..-17). The 9-seed 10-stage
-    # extension LOCALIZED the structure: final-stage bias at north-star
-    # depth is ZERO (CNN +0.03 +- 0.96, NME +0.67 +- 0.86, n_conv=6), but
-    # the CIL-matrix decomposition shows a systematic mid-protocol
-    # recency skew in the jax CNN head vs the torch harness — new-task
-    # (diagonal) accuracy HIGHER, old-task (off-diagonal) retention
-    # LOWER (-3.76 +- 0.81 overall at 10 stages, 4.6 sigma) — that
-    # cancels in the stage-10 final average but not in the stage-6 one.
-    # NME (features) is clean, so the skew lives in the classifier-head
-    # training, not the backbone. Under active ablation (PARITY_ABLATION_*
-    # files, use_cbf=False arm first); analysis in PARITY.md.
-    # (NME's -2.76 +- 1.15 = 2.40 sigma corroborates the direction but sits
-    # inside the normal gate, so only CNN carries a flag entry.)
+    # ROOT-CAUSED AND FIXED (round 5), entry retained until the study is
+    # regenerated under the fixed code: the 16-seed 6-stage CNN bias
+    # (-5.37 +- 2.03, 2.64 sigma; NME corroborating at 2.40 sigma inside
+    # the gate) was bisected via a use_cbf=False ablation to the CBF phase
+    # and root-caused to frozen-backbone gradients inflating the global
+    # clip norm during CBF (optim.build_optimizer _zero_frozen_grads;
+    # tests/test_optim.py::test_frozen_backbone_excluded_from_clip_norm).
+    # The committed PARITY_STUDY_base_6stage.json was measured PRE-fix, so
+    # its recorded bias stands until regeneration; the post-fix validation
+    # study lives in PARITY_ABLATION_6stage_cbfclip_fixed.json. Full
+    # analysis: PARITY.md "The 6-stage flag — root-caused and fixed".
     ("base", 6, "cnn"): dict(max_abs_mean=8.0, sign=-1),
 }
 
