@@ -55,18 +55,15 @@ BIAS_FLOOR_PTS = 1.0
 # whose study moves back inside the normal gate fails as stale, forcing
 # removal). Status and analysis live in PARITY.md "The 6-stage flag".
 OPEN_FLAGS = {
-    # ROOT-CAUSED AND FIXED (round 5), entry retained until the study is
-    # regenerated under the fixed code: the 16-seed 6-stage CNN bias
-    # (-5.37 +- 2.03, 2.64 sigma; NME corroborating at 2.40 sigma inside
-    # the gate) was bisected via a use_cbf=False ablation to the CBF phase
-    # and root-caused to frozen-backbone gradients inflating the global
-    # clip norm during CBF (optim.build_optimizer _zero_frozen_grads;
-    # tests/test_optim.py::test_frozen_backbone_excluded_from_clip_norm).
-    # The committed PARITY_STUDY_base_6stage.json was measured PRE-fix, so
-    # its recorded bias stands until regeneration; the post-fix validation
-    # study lives in PARITY_ABLATION_6stage_cbfclip_fixed.json. Full
-    # analysis: PARITY.md "The 6-stage flag — root-caused and fixed".
-    ("base", 6, "cnn"): dict(max_abs_mean=8.0, sign=-1),
+    # (empty — the one flag this mechanism has carried, the 6-stage CNN
+    # bias, was root-caused to the CBF frozen-gradient clip bug, fixed in
+    # optim.build_optimizer, and CLOSED when the regenerated 18-seed
+    # post-fix study replaced the pre-fix evidence: final CNN -0.53 +-
+    # 2.09, retention off-diagonal -1.02 +- 1.45. The pre-fix 16-seed
+    # study is retained as PARITY_ABLATION_6stage_cbfclip_bugged.json —
+    # deliberately OUTSIDE this gate's PARITY_STUDY_* glob — as the
+    # measured record of the bug. Full narrative: PARITY.md "The 6-stage
+    # flag — root-caused and fixed".)
 }
 
 
